@@ -1,0 +1,178 @@
+"""MERGE-apply — the engine core (operators M1-M16, J1, J5, F4;
+SURVEY.md §2.7). One declarative pass:
+
+    changes ──max-LSN dedup (W1)──┐
+                                  ├─ full-outer equi-join on key (J1)
+    target  ──────────────────────┘
+        → optional fuzzy gate (J5/F3: pandas-UDF token_sort_ratio
+          between incoming and existing text, thresholds 100/τ —
+          reference record_update.py:352-443)
+        → per-column field-level merge (M2 replace_and_add /
+          M3 replace_only — record_update.py:870-887)
+        → delete handling (op='D'), LSN idempotence guard
+        → route + conflict columns (F4) for the routed sinks and
+          lineage metrics.
+
+Everything except the similarity UDF stays in Catalyst expressions
+(whole-stage codegen); the join is a plain equi-join Catalyst plans as
+broadcast or sort-merge depending on side sizes, and AQE rewrites it
+at runtime for skew.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.normalize import normalize_text
+from ..functions.similarity import token_sort_ratio
+from ..schemas import KEY_COLS
+from .dedup import latest_per_key
+
+CHANGE_META = {"op", "lsn", "commit_ts"}
+
+
+@dataclass
+class MergeResult:
+    final: DataFrame  # post-merge target table state
+    routed: DataFrame  # one row per deduped change: key, op, lsn, route, conflict
+    bad: DataFrame  # quarantined malformed changes (reference S8 'bad' sink)
+
+
+def split_bad(changes: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Quarantine malformed changes (null key / unknown op) — the
+    reference's bad-record side channel (record_update.py:243-252)."""
+    is_bad = (
+        F.col("conv_id").isNull()
+        | F.col("turn_idx").isNull()
+        | F.col("lsn").isNull()
+        | ~F.col("op").isin("I", "U", "D")
+    )
+    return changes.filter(~is_bad), changes.filter(is_bad)
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    strategy: str = "replace_and_add",
+    dedup_method: str = "agg",
+    fuzzy_gate: bool = False,
+    fuzzy_threshold: int = 50,
+    require_perfect_match: bool = False,
+) -> MergeResult:
+    """Apply a change batch to the target table state, returning the
+    new state plus routing/quarantine side outputs.
+
+    Semantics (pinned by tests against the pandas replay oracle):
+    - per key, only the max-LSN change in the batch matters (W1);
+    - a change is *fresh* iff its LSN exceeds the target row's LSN —
+      replaying a batch is a no-op (exactly-once idempotence);
+    - I/U merge field-level: non-null change columns overwrite, null
+      change columns preserve target values (M2); columns present only
+      in the change feed extend the schema additively; columns present
+      only in the target survive untouched (M9 never-clobber);
+    - replace_only drops unmatched inserts (M3);
+    - D deletes the row iff fresh;
+    - with ``fuzzy_gate``, matched updates must pass the similarity
+      threshold on normalized text or they are rejected as conflicts
+      (reference fuzzy-match-failed path, record_update.py:352-443).
+    """
+    good, bad = split_bad(changes)
+    latest = latest_per_key(good, method=dedup_method)
+
+    t_payload = [c for c in base.columns if c not in KEY_COLS and c != "lsn"]
+    c_payload = [c for c in latest.columns if c not in KEY_COLS and c not in CHANGE_META]
+    all_payload = list(dict.fromkeys(t_payload + c_payload))  # ordered union
+
+    t = base.select(
+        *[F.col(k).alias(f"t_{k}") for k in KEY_COLS],
+        F.col("lsn").alias("t_lsn"),
+        *[F.col(c).alias(f"t_{c}") for c in t_payload],
+    )
+    c = latest.select(
+        *[F.col(k).alias(f"c_{k}") for k in KEY_COLS],
+        F.col("lsn").alias("c_lsn"),
+        F.col("op").alias("c_op"),
+        *[F.col(x).alias(f"c_{x}") for x in c_payload],
+    )
+    cond = [t[f"t_{k}"] == c[f"c_{k}"] for k in KEY_COLS]
+    j = t.join(c, cond, "full_outer")
+
+    has_t = F.col("t_lsn").isNotNull()
+    has_c = F.col("c_lsn").isNotNull()
+    fresh = has_c & (~has_t | (F.col("c_lsn") > F.col("t_lsn")))
+    matched_update = fresh & has_t & (F.col("c_op") != "D")
+
+    if fuzzy_gate:
+        ratio = F.when(
+            matched_update,
+            token_sort_ratio(
+                normalize_text(F.coalesce(F.col("c_text"), F.lit(""))),
+                normalize_text(F.coalesce(F.col("t_text"), F.lit(""))),
+            ),
+        )
+        j = j.withColumn("_ratio", ratio)
+        if require_perfect_match:
+            gate_ok = F.col("_ratio") == 100
+        else:
+            gate_ok = F.col("_ratio") >= fuzzy_threshold
+        gate_ok = ~matched_update | F.coalesce(gate_ok, F.lit(True))
+    else:
+        j = j.withColumn("_ratio", F.lit(None).cast("int"))
+        gate_ok = F.lit(True)
+
+    is_insert = fresh & ~has_t & (F.col("c_op") != "D")
+    if strategy == "replace_only":
+        insert_ok = F.lit(False)  # M3: update-without-insert
+    elif strategy == "replace_and_add":
+        insert_ok = F.lit(True)  # M2: add fields/rows not present
+    else:
+        raise ValueError(f"unknown strategy: {strategy}")
+
+    apply_update = matched_update & gate_ok
+    apply_insert = is_insert & insert_ok
+    applied = apply_update | apply_insert
+    deleted = fresh & has_t & (F.col("c_op") == "D")
+
+    route = (
+        F.when(deleted, F.lit("deleted"))
+        .when(has_c & (F.col("c_op") == "D") & ~has_t, F.lit("delete-noop"))
+        .when(has_c & ~fresh, F.lit("stale"))
+        .when(matched_update & ~gate_ok, F.lit("unmodified"))
+        .when(apply_update & fuzzy_gate & (F.col("_ratio") < 100), F.lit("fuzzy-updated"))
+        .when(apply_update, F.lit("updated"))
+        .when(apply_insert, F.lit("non-updated"))
+        .when(is_insert & ~insert_ok, F.lit("skipped-insert"))
+    )
+    j = j.withColumn("_route", route).withColumn(
+        "_conflict", (matched_update & ~gate_ok).cast("int")
+    )
+
+    merged_cols = []
+    for col in all_payload:
+        c_col = F.col(f"c_{col}") if col in c_payload else F.lit(None)
+        t_col = F.col(f"t_{col}") if col in t_payload else F.lit(None)
+        merged_cols.append(
+            F.when(applied, F.coalesce(c_col, t_col)).otherwise(t_col).alias(col)
+        )
+
+    final = (
+        j.filter(~deleted & (has_t | applied))
+        .select(
+            *[F.coalesce(F.col(f"c_{k}"), F.col(f"t_{k}")).alias(k) for k in KEY_COLS],
+            *merged_cols,
+            F.when(applied, F.col("c_lsn")).otherwise(F.col("t_lsn")).alias("lsn"),
+        )
+    )
+
+    routed = j.filter(has_c).select(
+        *[F.col(f"c_{k}").alias(k) for k in KEY_COLS],
+        F.col("c_op").alias("op"),
+        F.col("c_lsn").alias("lsn"),
+        F.col("_route").alias("route"),
+        F.col("_conflict").alias("conflict"),
+        F.col("_ratio").alias("ratio"),
+    )
+    return MergeResult(final=final, routed=routed, bad=bad)

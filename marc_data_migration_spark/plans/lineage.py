@@ -1,0 +1,48 @@
+"""Lineage / metrics side table — operators S10/A2/A3 (SURVEY.md §2.1,
+§2.4). The reference emits tab-delimited audit logs + console counters
+(record_update.py:262-286, field_replacement_count.py); the engine
+persists the equivalent as a per-batch, per-partition metrics table
+(FIXTURES.md §4): applied LSN ranges, row counts by outcome, conflict
+counts. ``batch_id`` is the exactly-once guard for the append-only
+table — a replayed batch is detected and skipped (SURVEY.md §4 risk 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def batch_lineage(routed: DataFrame, batch_id: int, n_partitions: int = 8) -> DataFrame:
+    """Aggregate a batch's routed outcomes into lineage rows, one per
+    key-hash partition (per-partition applied LSN ranges — north_rule).
+    A single shuffle: groupBy(partition_id) with conditional aggs."""
+    by_part = routed.withColumn(
+        "partition_id", F.pmod(F.xxhash64("conv_id"), F.lit(n_partitions)).cast("int")
+    )
+    return (
+        by_part.groupBy("partition_id")
+        .agg(
+            F.min("lsn").alias("lsn_min"),
+            F.max("lsn").alias("lsn_max"),
+            F.sum(
+                F.when(F.col("route").isin("updated", "fuzzy-updated", "non-updated", "deleted"), 1).otherwise(0)
+            ).alias("rows_applied"),
+            F.sum(F.when(F.col("route") == "non-updated", 1).otherwise(0)).alias("rows_inserted"),
+            F.sum(F.when(F.col("route").isin("updated", "fuzzy-updated"), 1).otherwise(0)).alias("rows_updated"),
+            F.sum(F.when(F.col("route") == "deleted", 1).otherwise(0)).alias("rows_deleted"),
+            F.sum("conflict").alias("conflict_count"),
+        )
+        .select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "partition_id",
+            "lsn_min",
+            "lsn_max",
+            F.col("rows_applied").cast("long"),
+            F.col("rows_inserted").cast("long"),
+            F.col("rows_updated").cast("long"),
+            F.col("rows_deleted").cast("long"),
+            F.col("conflict_count").cast("long"),
+            F.current_timestamp().alias("commit_ts"),
+        )
+    )

@@ -1,0 +1,85 @@
+"""Unit tests for normalization, key extraction, and similarity —
+SURVEY.md §5 item 1. Ratio values are pinned: route decisions (hence
+final table state) depend on exact threshold crossings at 50/100
+(SURVEY.md §4 risk 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from marc_data_migration_spark.functions.normalize import (
+    extract_key_001,
+    extract_key_035,
+    key_with_precedence,
+    normalize_text,
+)
+from marc_data_migration_spark.functions.similarity import (
+    jaccard_tokens,
+    ratio_py,
+    token_sort_ratio,
+    token_sort_ratio_py,
+)
+
+
+def test_ratio_py_pinned_values():
+    assert ratio_py("hello world", "hello world") == 100
+    assert ratio_py("", "") == 0
+    assert ratio_py("abc", "xyz") == 0
+    assert ratio_py("new york mets", "new YORK mets") == 100  # case-folded
+    # Ratcliff/Obershelp on 'abcd' vs 'abce': 3 matching of 8 → 75
+    assert ratio_py("abcd", "abce") == 75
+
+
+def test_token_sort_ratio_pinned_values():
+    # word order is irrelevant after token sort
+    assert token_sort_ratio_py("fox jumps over", "over jumps fox") == 100
+    assert token_sort_ratio_py("the quick brown fox", "fox brown quick the") == 100
+    # punctuation stripped by full_process
+    assert token_sort_ratio_py("a, b. c!", "c b a") == 100
+    assert token_sort_ratio_py("completely different", "unrelated words") < 50
+
+
+def test_similarity_udf_matches_python(spark):
+    pairs = [
+        ("hello world", "world hello"),
+        ("alpha beta gamma", "alpha beta"),
+        ("x", "y"),
+        (None, "abc"),
+        ("Same Text.", "same text"),
+    ]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = [r.r for r in df.select(token_sort_ratio("a", "b").alias("r")).collect()]
+    want = [token_sort_ratio_py(a, b) for a, b in pairs]
+    assert got == want
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame([("The Quick, Brown-Fox: (jumps)!  over the dog",)], "t string")
+    out = df.select(normalize_text("t").alias("n")).collect()[0].n
+    assert "," not in out and "(" not in out and "-" not in out
+    assert "  " not in out
+    assert out == out.strip()
+    assert "quick" in out and "fox" in out
+
+
+def test_key_extraction(spark):
+    rows = [
+        ("ocm12345678", "(OCoLC)ocm999", "999"),  # 035 wins (P3)
+        ("on4242", None, "4242"),
+        ("ocn777  ", None, "777"),
+        ("notanumber", None, None),
+        ("12345", "(OCoLC)abc", "12345"),  # invalid 035 falls back to 001
+    ]
+    df = spark.createDataFrame([(a, b) for a, b, _ in rows], "f001 string, f035 string")
+    out = df.select(
+        key_with_precedence(extract_key_035("f035"), extract_key_001("f001")).alias("k")
+    ).collect()
+    assert [r.k for r in out] == [want for _, _, want in rows]
+
+
+def test_jaccard_tokens(spark):
+    df = spark.createDataFrame([("a b c", "b c d"), ("x y", "x y")], "a string, b string")
+    got = [r.j for r in df.select(jaccard_tokens("a", "b").alias("j")).collect()]
+    assert got[0] == 0.5  # {b,c} / {a,b,c,d}
+    assert got[1] == 1.0

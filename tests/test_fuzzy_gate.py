@@ -1,0 +1,84 @@
+"""Fuzzy-gated merge (J5/F3/F4): matched updates must pass the
+normalized-text similarity threshold — the reference's three-way
+routing at 100 / ≥τ / <τ (record_update.py:352-443).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from marc_data_migration_spark.operators.merge import apply_changes
+
+BASE = pd.DataFrame(
+    [
+        # identical text → ratio 100 → 'updated'
+        {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "the quick brown fox", "tool": "none", "ts": pd.Timestamp("2026-01-01"), "lsn": -1},
+        # word-reordered → token_sort 100 → still 'updated'
+        {"conv_id": "c2", "turn_idx": 0, "role": "user", "text": "fox brown quick the", "tool": "none", "ts": pd.Timestamp("2026-01-01"), "lsn": -1},
+        # partially similar → 50 ≤ ratio < 100 → 'fuzzy-updated'
+        {"conv_id": "c3", "turn_idx": 0, "role": "user", "text": "the quick brown fox jumps", "tool": "none", "ts": pd.Timestamp("2026-01-01"), "lsn": -1},
+        # unrelated → ratio < 50 → rejected ('unmodified', conflict)
+        {"conv_id": "c4", "turn_idx": 0, "role": "user", "text": "zzz yyy xxx www qqq", "tool": "none", "ts": pd.Timestamp("2026-01-01"), "lsn": -1},
+    ]
+)
+
+CHANGES = pd.DataFrame(
+    [
+        {"op": "U", "lsn": 1, "commit_ts": pd.Timestamp("2026-01-02"), "conv_id": "c1", "turn_idx": 0, "role": "assistant", "text": "the quick brown fox", "tool": "python", "ts": pd.Timestamp("2026-01-02")},
+        {"op": "U", "lsn": 2, "commit_ts": pd.Timestamp("2026-01-02"), "conv_id": "c2", "turn_idx": 0, "role": "assistant", "text": "the quick brown fox", "tool": "python", "ts": pd.Timestamp("2026-01-02")},
+        {"op": "U", "lsn": 3, "commit_ts": pd.Timestamp("2026-01-02"), "conv_id": "c3", "turn_idx": 0, "role": "assistant", "text": "the quick brown fox", "tool": "python", "ts": pd.Timestamp("2026-01-02")},
+        {"op": "U", "lsn": 4, "commit_ts": pd.Timestamp("2026-01-02"), "conv_id": "c4", "turn_idx": 0, "role": "assistant", "text": "the quick brown fox", "tool": "python", "ts": pd.Timestamp("2026-01-02")},
+        # brand-new key: no gate applies, inserts as 'non-updated'
+        {"op": "I", "lsn": 5, "commit_ts": pd.Timestamp("2026-01-02"), "conv_id": "c9", "turn_idx": 0, "role": "user", "text": "hello", "tool": "none", "ts": pd.Timestamp("2026-01-02")},
+    ]
+)
+
+
+def test_fuzzy_routes(spark):
+    res = apply_changes(
+        spark.createDataFrame(BASE),
+        spark.createDataFrame(CHANGES),
+        fuzzy_gate=True,
+        fuzzy_threshold=50,
+    )
+    routes = {r.conv_id: r.route for r in res.routed.collect()}
+    assert routes == {
+        "c1": "updated",
+        "c2": "updated",  # token-sort makes reorder a perfect match
+        "c3": "fuzzy-updated",
+        "c4": "unmodified",
+        "c9": "non-updated",
+    }
+    final = {r.conv_id: r for r in res.final.collect()}
+    assert final["c1"].text == "the quick brown fox"
+    assert final["c4"].text == "zzz yyy xxx www qqq"  # rejected update kept old text
+    assert final["c4"].lsn == -1  # and old lsn
+    assert "c9" in final
+    conflicts = {r.conv_id: r.conflict for r in res.routed.collect()}
+    assert conflicts["c4"] == 1 and sum(conflicts.values()) == 1
+
+
+def test_require_perfect_match(spark):
+    res = apply_changes(
+        spark.createDataFrame(BASE),
+        spark.createDataFrame(CHANGES),
+        fuzzy_gate=True,
+        require_perfect_match=True,
+    )
+    routes = {r.conv_id: r.route for r in res.routed.collect()}
+    assert routes["c1"] == "updated"
+    assert routes["c2"] == "updated"
+    assert routes["c3"] == "unmodified"  # 50≤ratio<100 now rejected
+    assert routes["c4"] == "unmodified"
+
+
+def test_bad_records_quarantined(spark):
+    bad = pd.DataFrame(
+        [
+            {"op": "X", "lsn": 10, "commit_ts": pd.Timestamp("2026-01-02"), "conv_id": "c1", "turn_idx": 0, "role": None, "text": None, "tool": None, "ts": None},
+            {"op": "U", "lsn": 11, "commit_ts": pd.Timestamp("2026-01-02"), "conv_id": None, "turn_idx": 0, "role": None, "text": "x", "tool": None, "ts": None},
+        ]
+    )
+    res = apply_changes(spark.createDataFrame(BASE), spark.createDataFrame(bad))
+    assert res.bad.count() == 2
+    assert res.final.count() == len(BASE)  # untouched
