@@ -1,0 +1,148 @@
+"""Exactly-once MERGE sink over bucketed parquet — operator S7
+(SURVEY.md §2.1) for the sandbox, where Iceberg jars are unavailable
+(SURVEY.md §7 risk 1). Behavior contract shared with sink_iceberg:
+``apply_merge(batch_df)`` is idempotent per batch_id and per LSN.
+
+Scale design: the target table is hash-bucketed on conv_id into
+``bucket=<k>`` directory partitions. A batch MERGE:
+
+1. computes the set of buckets its keys touch (one tiny distinct agg —
+   at most n_buckets values to the driver);
+2. reads ONLY those partitions (partition pruning — the scan filter is
+   on the partition column, so untouched data is never read);
+3. full-outer MERGE-applies the batch against that slice;
+4. dynamically overwrites ONLY the touched partitions
+   (``partitionOverwriteMode=dynamic``).
+
+At 100 TB with n_buckets sized so a bucket ≈ a few GB, a batch that
+touches 1% of conversations rewrites ~1% of the table — the same I/O
+shape as an Iceberg copy-on-write MERGE with bucket partitioning.
+Schema evolution is additive: new columns appear on rewritten buckets;
+``mergeSchema=true`` on read presents old buckets with nulls.
+
+The lineage table doubles as the exactly-once ledger: a batch_id that
+already has lineage rows is a replay and is skipped outright (the
+LSN guard in the MERGE itself makes even a forced re-apply converge).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import MergeResult, apply_changes
+from ..plans.lineage import batch_lineage
+from ..schemas import KEY_COLS, TRANSCRIPTS_SCHEMA
+
+BUCKET_COL = "bucket"
+
+
+def bucket_expr(n_buckets: int):
+    return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+
+
+class ParquetMergeSink:
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 32):
+        self.spark = spark
+        self.path = path
+        self.data_path = os.path.join(path, "data")
+        self.lineage_path = os.path.join(path, "lineage")
+        self.routed_path = os.path.join(path, "routed")
+        self.bad_path = os.path.join(path, "bad")
+        self.n_buckets = n_buckets
+
+    # -- target state ---------------------------------------------------
+    def exists(self) -> bool:
+        return os.path.isdir(self.data_path) and any(
+            name.startswith(f"{BUCKET_COL}=") for name in os.listdir(self.data_path)
+        )
+
+    def init(self, base: DataFrame) -> None:
+        (
+            base.withColumn(BUCKET_COL, bucket_expr(self.n_buckets))
+            .repartition(self.n_buckets, BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.data_path)
+        )
+
+    def read(self) -> DataFrame:
+        if not self.exists():  # fully-deleted table
+            return self.spark.createDataFrame([], TRANSCRIPTS_SCHEMA)
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(self.data_path)
+            .drop(BUCKET_COL)
+        )
+
+    def _read_buckets(self, buckets: list[int]) -> DataFrame:
+        df = self.spark.read.option("mergeSchema", "true").parquet(self.data_path)
+        return df.filter(F.col(BUCKET_COL).isin(buckets)).drop(BUCKET_COL)
+
+    # -- exactly-once ledger ---------------------------------------------
+    def applied_batch_ids(self) -> set[int]:
+        if not os.path.isdir(self.lineage_path):
+            return set()
+        rows = self.spark.read.parquet(self.lineage_path).select("batch_id").distinct().collect()
+        return {r.batch_id for r in rows}
+
+    # -- MERGE -----------------------------------------------------------
+    def apply_merge(self, batch_df: DataFrame, batch_id: int, **merge_opts) -> MergeResult | None:
+        """Idempotently MERGE one change batch. Returns None if the
+        batch_id was already applied (checkpoint replay)."""
+        if batch_id in self.applied_batch_ids():
+            return None
+        batch_df = batch_df.persist()
+        touched = [
+            r.b
+            for r in batch_df.select(bucket_expr(self.n_buckets).alias("b")).distinct().collect()
+        ]
+        base = self._read_buckets(touched) if self.exists() else self._empty_base(batch_df)
+        res = apply_changes(base, batch_df, **merge_opts)
+
+        final = res.final.withColumn(BUCKET_COL, bucket_expr(self.n_buckets))
+        routed = res.routed.persist()
+        # Write the new version of the touched buckets to a staging dir,
+        # then swap partition directories into place. Writing straight
+        # over data_path would race: the merge plan reads the very files
+        # the dynamic-overwrite commit deletes. (Iceberg's snapshot
+        # commit is the atomic version of this swap — sink_iceberg.py.)
+        staging = os.path.join(self.path, f"_staging_batch_{batch_id}")
+        (
+            final.repartition(max(len(touched), 1), BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(staging)
+        )
+        routed.count()  # materialize the cache BEFORE the swap below
+        # invalidates the files its plan reads
+        for b in touched:
+            dst = os.path.join(self.data_path, f"{BUCKET_COL}={b}")
+            src = os.path.join(staging, f"{BUCKET_COL}={b}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):  # absent = bucket is now empty
+                os.replace(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(self.data_path, exist_ok=True)
+        lineage = batch_lineage(routed, batch_id, n_partitions=self.n_buckets)
+        lineage.write.mode("append").parquet(self.lineage_path)
+        routed.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(self.routed_path)
+        if res.bad.take(1):
+            res.bad.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(self.bad_path)
+        batch_df.unpersist()
+        routed.unpersist()
+        return res
+
+    def _empty_base(self, batch_df: DataFrame) -> DataFrame:
+        payload = [c for c in batch_df.columns if c not in ("op", "lsn", "commit_ts")]
+        empty = batch_df.select(*payload, F.col("lsn")).limit(0)
+        return empty.select(*KEY_COLS, *[c for c in empty.columns if c not in KEY_COLS])
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(self.lineage_path)
+
+    def routed(self) -> DataFrame:
+        return self.spark.read.parquet(self.routed_path)

@@ -1,0 +1,89 @@
+"""Structured Streaming shell — SURVEY.md §2.9. The reference's
+sequential file tail (record_update.py:182-254) becomes:
+
+    readStream (file source over staged WAL chunks; Kafka/CDC source
+    in production — same downstream code)
+      → foreachBatch: salted repartition → max-LSN dedup → fuzzy gate
+        → MERGE into the sink → lineage append
+      → checkpoint advances only after the sink commit returns, and the
+        sink's batch_id ledger + LSN guard make replayed batches no-ops
+        → end-to-end exactly-once.
+
+Cluster sizing notes (the part local[32] can't show): the change feed
+should arrive hash-distributed by conv_id (Kafka key = conv_id) so the
+dedup shuffle is the only wide exchange per batch; shuffle partitions
+≈ 2-3× executor cores; `maxFilesPerTrigger`/`maxOffsetsPerTrigger`
+bounds batch size so a touched-bucket rewrite stays within executor
+memory. Hot conversations are broken by the salted two-phase dedup
+(operators/dedup.py) before the merge join; AQE handles residual join
+skew.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import CHANGES_SCHEMA, CHANGES_SCHEMA_V2
+from .sink_parquet import ParquetMergeSink
+
+
+def stage_feed_chunks(
+    chunks: list[pd.DataFrame], feed_dir: str, start_at: int = 0
+) -> list[str]:
+    """Write pandas change-feed chunks as individual parquet files —
+    the staged WAL the file-source stream tails."""
+    os.makedirs(feed_dir, exist_ok=True)
+    paths = []
+    for i, pdf in enumerate(chunks, start=start_at):
+        p = os.path.join(feed_dir, f"chunk-{i:06d}.parquet")
+        pdf = pdf.copy()
+        for c in pdf.columns:  # Spark rejects pandas' ns-precision INT64
+            if str(pdf[c].dtype).startswith("datetime64[ns"):
+                pdf[c] = pdf[c].astype("datetime64[us]")
+        pdf.to_parquet(p, index=False)
+        paths.append(p)
+    return paths
+
+
+def run_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    sink: ParquetMergeSink,
+    checkpoint_dir: str,
+    evolved: bool = False,
+    max_files_per_trigger: int = 1,
+    salt_buckets: int = 0,
+    **merge_opts,
+):
+    """Tail `feed_dir`, applying each micro-batch through the sink's
+    idempotent MERGE. Blocks until the currently-available feed is
+    drained (availableNow), then returns — call again after staging
+    more chunks with the same checkpoint to resume exactly-once."""
+    schema = CHANGES_SCHEMA_V2 if evolved else CHANGES_SCHEMA
+
+    def apply_batch(batch_df, batch_id: int):
+        if salt_buckets:
+            batch_df = batch_df.repartition(
+                salt_buckets,
+                F.col("conv_id"),
+                F.pmod(F.xxhash64("lsn"), F.lit(salt_buckets)),
+            )
+        sink.apply_merge(batch_df, batch_id, **merge_opts)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
