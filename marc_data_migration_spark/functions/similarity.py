@@ -7,10 +7,12 @@ sandbox dependency, so we pin our own implementation:
 
 - ``full_process``: lowercase, non-alphanumeric → space, trim
   (fuzzywuzzy.utils.full_process semantics).
-- ``ratio``: int(round(100 * 2*M / (len_a + len_b))) where M is total
-  matching-block length from difflib.SequenceMatcher(autojunk=False) —
-  the classic Ratcliff/Obershelp ratio fuzzywuzzy falls back to without
-  python-Levenshtein.
+- ``ratio``: int(round(100 * 2*LCS / (len_a + len_b))) — the InDel
+  (substitution-cost-2 Levenshtein) ratio, exactly what
+  python-Levenshtein's ``ratio`` computes for fuzzywuzzy. LCS length
+  is computed with the Crochemore/Hyyrö bit-parallel algorithm over
+  Python big-ints: O(len_a · len_b / 64) word ops at C speed,
+  verified against the O(nm) DP (tests).
 - ``token_sort_ratio``: ratio() over the space-joined sorted token
   lists of the processed strings.
 
@@ -23,7 +25,6 @@ built-ins and stays JVM-side.
 from __future__ import annotations
 
 import re
-from difflib import SequenceMatcher
 
 import pandas as pd
 from pyspark.sql import Column
@@ -32,6 +33,13 @@ from pyspark.sql import types as T
 
 _NON_ALNUM = re.compile(r"[^0-9a-zA-Z]+")
 
+# The reference compares *titles* (245$a$b — short strings), never whole
+# records (utils.py:118-152). We bound the comparison window the same
+# way: similarity is computed on the first MAX_CMP_CHARS normalized
+# chars, keeping per-row CPU O(MAX_CMP_CHARS²) instead of O(doc²) —
+# a hard requirement at 10^10-event scale.
+MAX_CMP_CHARS = 256
+
 
 def full_process(s: str | None) -> str:
     if s is None:
@@ -39,23 +47,43 @@ def full_process(s: str | None) -> str:
     return _NON_ALNUM.sub(" ", s).lower().strip()
 
 
-def ratio_py(a: str | None, b: str | None) -> int:
-    a, b = full_process(a), full_process(b)
-    if not a and not b:
+def lcs_len(a: str, b: str) -> int:
+    """Bit-parallel LCS length (Crochemore et al. 2001): one big-int
+    column vector, one add/or/and per text char."""
+    if not a or not b:
         return 0
-    m = SequenceMatcher(None, a, b, autojunk=False)
-    total = sum(bl.size for bl in m.get_matching_blocks())
-    return int(round(200.0 * total / (len(a) + len(b)))) if (a or b) else 0
+    masks: dict[str, int] = {}
+    bit = 1
+    for ch in a:
+        masks[ch] = masks.get(ch, 0) | bit
+        bit <<= 1
+    ones = bit - 1
+    v = ones
+    for ch in b:
+        mb = masks.get(ch, 0)
+        u = v & mb
+        v = ((v + u) | (v & ~mb)) & ones
+    return len(a) - bin(v).count("1")
+
+
+def _blocks_ratio(a: str, b: str) -> int:
+    if a == b:
+        return 100 if a else 0
+    if not a or not b:
+        return 0
+    return int(round(200.0 * lcs_len(a, b) / (len(a) + len(b))))
+
+
+def ratio_py(a: str | None, b: str | None) -> int:
+    return _blocks_ratio(
+        full_process(a)[:MAX_CMP_CHARS], full_process(b)[:MAX_CMP_CHARS]
+    )
 
 
 def token_sort_ratio_py(a: str | None, b: str | None) -> int:
-    sa = " ".join(sorted(full_process(a).split()))
-    sb = " ".join(sorted(full_process(b).split()))
-    if not sa and not sb:
-        return 0
-    m = SequenceMatcher(None, sa, sb, autojunk=False)
-    total = sum(bl.size for bl in m.get_matching_blocks())
-    return int(round(200.0 * total / (len(sa) + len(sb))))
+    sa = " ".join(sorted(full_process(a)[:MAX_CMP_CHARS].split()))
+    sb = " ".join(sorted(full_process(b)[:MAX_CMP_CHARS].split()))
+    return _blocks_ratio(sa, sb)
 
 
 @F.pandas_udf(T.IntegerType())

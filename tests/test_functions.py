@@ -22,6 +22,28 @@ from marc_data_migration_spark.functions.similarity import (
 )
 
 
+def test_lcs_bitparallel_equals_dp():
+    """The bit-parallel LCS must equal the classic O(nm) DP."""
+    import random
+
+    from marc_data_migration_spark.functions.similarity import lcs_len
+
+    def lcs_dp(a, b):
+        prev = [0] * (len(b) + 1)
+        for ai in a:
+            cur = [0] * (len(b) + 1)
+            for j, bj in enumerate(b):
+                cur[j + 1] = prev[j] + 1 if ai == bj else max(prev[j + 1], cur[j])
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(7)
+    for _ in range(200):
+        a = "".join(rng.choice("abc def") for _ in range(rng.randint(0, 60)))
+        b = "".join(rng.choice("abc def") for _ in range(rng.randint(0, 60)))
+        assert lcs_len(a, b) == lcs_dp(a, b), (a, b)
+
+
 def test_ratio_py_pinned_values():
     assert ratio_py("hello world", "hello world") == 100
     assert ratio_py("", "") == 0
