@@ -68,8 +68,11 @@ def changes_from_events(events: DataFrame) -> DataFrame:
 
 
 def base_from_events(events: DataFrame) -> DataFrame:
-    """Initial lake state: every 4th event, deduped per key by max lsn."""
-    ch = changes_from_events(events.filter(F.col("event_id") % 4 == 0))
+    """Initial lake state: a quarter of the feed, deduped per key by max
+    lsn. The filter uses (event_id div 20) so it is independent of
+    turn_idx = event_id % 20 — base keys must also receive non-base
+    changes or the matched-update MERGE path is never exercised."""
+    ch = changes_from_events(events.filter(F.expr("(event_id div 20) % 4 = 0")))
     latest = latest_per_key(ch.filter(F.col("op") != "D"))
     return latest.select("conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn")
 
@@ -97,7 +100,7 @@ base AS (
   SELECT conv_id, turn_idx, role, text, tool, ts, lsn FROM (
     SELECT c.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
     FROM changes c
-    WHERE lsn % 4 = 0 AND op <> 'D'
+    WHERE (lsn // 20) % 4 = 0 AND op <> 'D'
   ) WHERE rn = 1
 ),
 latest AS (
@@ -487,4 +490,328 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_sort_ratio(
             normalize_text("a_text"), normalize_text("b_text")
         ).alias("ratio"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Training-data pipeline ops: dedup family, similarity search, text
+# analysis (SURVEY.md build-plan step 8 + task-mandated ops)
+# ---------------------------------------------------------------------
+
+from .functions.text_analysis import (  # noqa: E402
+    BPE_RE,
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    n_bpe_tokens,
+    n_tokens,
+    quality_features,
+)
+from .operators.similarity_search import cosine_topk, lsh_ann_topk  # noqa: E402
+from .operators.text_dedup import (  # noqa: E402
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+
+def _norm_sql(x: str) -> str:
+    """DuckDB mirror of functions.normalize.normalize_text."""
+    return (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        f"lower({x}), '[.,/#!$%^&*;:{{}}\\[\\]=\\-_`~()]', ' ', 'g'),"
+        " '(?i)\\s(the|of|a|an|p|n)\\s', ' ', 'g'),"
+        " '\\s{2,}', ' ', 'g'))"
+    )
+
+
+def _md5int_sql(x: str) -> str:
+    return f"CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+
+
+_SHINGLE_CTES = f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_norm_sql('text')}, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(w) >= 3
+           THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                               for i in generate_series(1, len(w)-2)])
+           ELSE [] END) AS sh
+    FROM norm
+  )
+)
+"""
+
+
+@query(
+    "minhash_signatures",
+    _SHINGLE_CTES
+    + f"""
+SELECT doc_id, seed, min({_md5int_sql("sh || '#' || CAST(seed AS VARCHAR)")}) AS minhash
+FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed)
+GROUP BY doc_id, seed
+""",
+)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_signatures(docs)
+
+
+@query(
+    "minhash_lsh_pairs",
+    _SHINGLE_CTES
+    + f"""
+, sig AS (
+  SELECT doc_id, seed, min({_md5int_sql("sh || '#' || CAST(seed AS VARCHAR)")}) AS minhash
+  FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed)
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         {_md5int_sql("string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)")} AS bh
+  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+""",
+)
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lsh_candidate_pairs(minhash_signatures(docs))
+
+
+@query(
+    "simhash_16",
+    f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split({_norm_sql('text')}, ' ')) AS tok FROM documents)
+),
+bits AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN ({_md5int_sql('tok')} >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM toks, (SELECT unnest(generate_series(0, 15)) AS bit)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(docs)
+
+
+@query(
+    "ngram_neardup_pairs",
+    _SHINGLE_CTES
+    + """
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b,
+  round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+FROM shared JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+""",
+)
+def q_ngram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+@query(
+    "embedding_cosine_topk",
+    """
+WITH q AS (
+  SELECT vec_id AS q, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+scored AS (
+  SELECT q.q, c.vec_id,
+    round(list_inner_product(qv, cv)
+          / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))), 4) AS score
+  FROM q, c WHERE q.q <> c.vec_id
+)
+SELECT q, vec_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY q ORDER BY score DESC, vec_id) AS rn FROM scored
+) WHERE rn <= 3
+""",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
+
+
+@query(
+    "lsh_ann_topk",
+    """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS q, c.vec_id,
+    round(list_inner_product(q.v, c.v)
+          / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))), 4) AS score
+  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id % 100 = 0
+)
+SELECT q, vec_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY q ORDER BY score DESC, vec_id) AS rn FROM scored
+) WHERE rn <= 3
+""",
+)
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
+
+
+_LANG_SCORE_SQL = ", ".join(
+    "len(list_filter(string_split(lower(text), ' '), t -> list_contains(["
+    + ", ".join(f"'{m}'" for m in markers)
+    + f"], t))) AS s_{lang}"
+    for lang, markers in LANG_MARKERS.items()
+)
+_LANG_CASE_SQL = (
+    "CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'unknown' "
+    + " ".join(
+        f"WHEN s_{lang} = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    + " END"
+)
+
+
+@query(
+    "lang_id",
+    f"""
+SELECT doc_id, {_LANG_CASE_SQL} AS pred_lang
+FROM (SELECT doc_id, {_LANG_SCORE_SQL} FROM documents)
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", lang_id("text").alias("pred_lang"))
+
+
+@query(
+    "text_quality",
+    f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+  round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1), 4) AS punct_ratio,
+  round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             t -> list_contains([{", ".join(f"'{w}'" for w in EN_STOPWORDS)}], t))) AS DOUBLE)
+        / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS stopword_ratio,
+  round(CAST(length(text) - len(string_split_regex(trim(text), '\\s+')) + 1 AS DOUBLE)
+        / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS avg_token_len
+FROM documents
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = quality_features("text")
+    return docs.select("doc_id", *[feats[k].alias(k) for k in feats])
+
+
+@query(
+    "token_counts",
+    f"""
+SELECT doc_id,
+  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        n_tokens("text").cast("long").alias("n_ws_tokens"),
+        n_bpe_tokens("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(
+    string_split({_norm_sql('text')}, ' '))), ' ')) AS fp
+FROM documents
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", fingerprint(normalize_text("text")).alias("fp"))
+
+
+# -- J3: mismatch comparison join (equi-join + inequality residual) ------
+
+
+@query(
+    "mismatch_join",
+    CDC_CTES
+    + """
+SELECT c.conv_id, c.turn_idx, c.role AS incoming_role, t.role AS existing_role
+FROM latest c JOIN base t
+  ON t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx
+WHERE c.role IS NOT NULL AND t.role IS NOT NULL AND c.role <> t.role
+""",
+)
+def q_mismatch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    base = base_from_events(ev).select(
+        F.col("conv_id").alias("t_conv_id"),
+        F.col("turn_idx").alias("t_turn_idx"),
+        F.col("role").alias("existing_role"),
+    )
+    latest = latest_per_key(changes_from_events(ev))
+    j = latest.join(
+        base,
+        (latest.conv_id == base.t_conv_id) & (latest.turn_idx == base.t_turn_idx),
+    )
+    return j.filter(
+        F.col("role").isNotNull()
+        & F.col("existing_role").isNotNull()
+        & (F.col("role") != F.col("existing_role"))
+    ).select("conv_id", "turn_idx", F.col("role").alias("incoming_role"), "existing_role")
+
+
+# -- A6: duplicate-field report (convs with >1 'system' turn) ------------
+
+
+@query(
+    "dup_role_report",
+    CDC_CTES
+    + """
+SELECT conv_id, count(*) AS n_system_turns
+FROM latest WHERE role = 'system'
+GROUP BY conv_id HAVING count(*) > 1
+""",
+)
+def q_dup_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    latest = latest_per_key(changes_from_events(_events(spark, sf_dir)))
+    return (
+        latest.filter(F.col("role") == "system")
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n_system_turns"))
+        .filter(F.col("n_system_turns") > 1)
     )

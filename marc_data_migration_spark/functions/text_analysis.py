@@ -1,0 +1,105 @@
+"""Text-analysis operators for the training-data pipeline: language ID,
+quality scoring, token counting, fingerprinting. All pure Catalyst
+expressions (JVM-side, codegen'd) — these run over every document at
+100 TB, so no Python in the row path.
+
+`md5int` is the engine's portable 60-bit hash: identical results in
+Spark (conv/substring of md5) and DuckDB ('0x'||substr cast), which is
+what makes MinHash/SimHash signatures oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5int(col: Column | str) -> Column:
+    """First 15 hex chars of md5 as a non-negative bigint (60 bits) —
+    portable across engines, uniform, deterministic."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+MD5INT_SQL = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+
+
+# Marker stop-words per language for the n-gram-free language-ID
+# heuristic (deterministic, vocabulary-based).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "dans"],
+    "es": ["el", "la", "los", "y", "es", "en"],
+    "zh": ["de5", "shi4", "le5", "zai4"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ["it", "that", "was", "for", "on", "with"]
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts over whitespace tokens."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id(col: Column | str) -> Column:
+    """Predicted language: argmax marker count, ties broken by the
+    fixed key order of LANG_MARKERS ('en' first)."""
+    scores = lang_scores(col)
+    langs = list(scores)
+    # build a greatest-of struct trick: pick first lang achieving the max
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.lit("unknown")
+    for lang in reversed(langs):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best > 0, expr).otherwise(F.lit("unknown"))
+
+
+def n_tokens(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def n_bpe_tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_RE), 0))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality signals
+    (deterministic ratios of small-int counts — cross-engine exact)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(c))
+    nt = F.size(toks)
+    stop_arr = F.array(*[F.lit(m) for m in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
+    n_chars = F.length(c)
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": nt.cast("long"),
+        "punct_ratio": F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 4),
+        "stopword_ratio": F.round(n_stop.cast("double") / F.greatest(nt, F.lit(1)), 4),
+        "avg_token_len": F.round(
+            (n_chars - nt + 1).cast("double") / F.greatest(nt, F.lit(1)), 4
+        ),
+    }
+
+
+def fingerprint(norm_col: Column | str) -> Column:
+    """Document fingerprint: md5 of the sorted distinct token set of the
+    normalized text (word-order/duplication-invariant identity)."""
+    toks = tokens(norm_col)
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))

@@ -1,0 +1,78 @@
+"""Similarity search over embedding columns (array<float>):
+
+- brute-force cosine top-k — the exact baseline: broadcast the (small)
+  query set against the full corpus, JVM-side zip_with/aggregate dot
+  products, window top-k;
+- sign-LSH bucketed ANN — the scale path: both sides hash to a bucket
+  from the signs of the leading components; the join is bucket-local,
+  touching ~corpus/2^bits candidates per query instead of all rows.
+
+At 100 TB the corpus side stays partitioned; only queries broadcast.
+All arithmetic is double (cast from float32 once) so the oracle's
+computation is bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+LSH_BITS = 4
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine: returns (q, vec_id, score) with
+    deterministic (score desc, vec_id) tie-break."""
+    q = queries.select(
+        F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    scored = F.broadcast(q).crossJoin(c).filter(F.col("q") != F.col(id_col))
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = scored.select("q", id_col, F.round(cos, 4).alias("score"))
+    w = Window.partitionBy("q").orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def sign_bucket(vec_col, bits: int = LSH_BITS):
+    """LSH bucket from the signs of the first `bits` components."""
+    expr = F.lit(0)
+    for i in range(bits):
+        expr = expr + F.when(F.element_at(vec_col, i + 1) > 0, F.lit(2 ** i)).otherwise(0)
+    return expr
+
+
+def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 bits: int = LSH_BITS) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign
+    bucket — the bucket equi-join replaces the cross join, so the probe
+    cost scales with corpus/2^bits. Same output shape as cosine_topk."""
+    q = queries.select(
+        F.col(id_col).alias("q"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("cv"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    scored = F.broadcast(q).join(c, "bucket").filter(F.col("q") != F.col(id_col))
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = scored.select("q", id_col, F.round(cos, 4).alias("score"))
+    w = Window.partitionBy("q").orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
