@@ -815,3 +815,56 @@ def q_dup_role(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_system_turns"))
         .filter(F.col("n_system_turns") > 1)
     )
+
+
+# -- multimodal plumbing (stubbed decode, real Spark pipeline) -----------
+
+from .operators.multimodal import (  # noqa: E402
+    decode_media,
+    fake_decode,
+    frame_sample,
+    synthesize_media,
+)
+
+
+@query(
+    "multimodal_features",
+    """
+SELECT doc_id AS media_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS payload_md5,
+  round(CAST(octet_length(encode(text)) AS DOUBLE), 4) AS f_len,
+  round(CAST(ord(substring(text, 1, 1)) AS DOUBLE), 4) AS f_first
+FROM documents
+""",
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = decode_media(synthesize_media(docs), codec=fake_decode)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "payload_md5",
+        F.round(F.element_at("feat", 1), 4).alias("f_len"),
+        F.round(F.element_at("feat", 2), 4).alias("f_first"),
+    )
+
+
+@query(
+    "frame_sample_counts",
+    """
+SELECT doc_id AS media_id,
+  CAST(greatest(CAST(octet_length(encode(text)) // 128 AS INT), 1) AS BIGINT) AS n_frames
+FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+""",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = synthesize_media(docs)
+    return (
+        frame_sample(media, every_n_bytes=128)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_frames"))
+    )

@@ -1,0 +1,77 @@
+"""Policy plugin surface (SURVEY.md §2.8, operators M8-M15, W2)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from marc_data_migration_spark.policy import (
+    DefaultPolicy,
+    TranscriptPolicy,
+    apply_conditional_moves,
+    load_policy,
+)
+
+ROWS = pd.DataFrame(
+    [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hello [local] Inventory:03/14/2021 x", "tool": "python", "ts": pd.Timestamp("2026-01-01"), "lsn": 1},
+        {"conv_id": "c1", "turn_idx": 1, "role": "tool", "text": "plain", "tool": "DEPRECATED", "ts": pd.Timestamp("2026-01-01"), "lsn": 2},
+        {"conv_id": "c2", "turn_idx": 0, "role": "user", "text": "t", "tool": "webcrawler-x", "ts": pd.Timestamp("2026-01-01"), "lsn": 3},
+    ]
+)
+
+
+def test_load_policy_dotted_path():
+    p = load_policy("marc_data_migration_spark.policy.TranscriptPolicy")
+    assert isinstance(p, TranscriptPolicy)
+
+
+def test_transcript_policy_transforms(spark):
+    df = spark.createDataFrame(ROWS)
+    out = {(r.conv_id, r.turn_idx): r for r in TranscriptPolicy().transform(df).collect()}
+    r0 = out[("c1", 0)]
+    assert r0.is_local is True
+    assert r0.inventory_date == "20210314"  # F8: mm/dd/yyyy → yyyymmdd
+    assert r0.location == "sandbox"  # J4 map lookup
+    r1 = out[("c1", 1)]
+    assert r1.tool is None  # M15: noise tool deleted
+    r2 = out[("c2", 0)]
+    assert r2.location == "web"  # prefix-rule fallback
+
+
+def test_conditional_move(spark):
+    """M9: move only when no replacement is provided."""
+    df = spark.createDataFrame(ROWS)
+    # provide a new tool only for c1/0 → c1/0 keeps tool, others move it
+    provided = {"tool": F.when((F.col("conv_id") == "c1") & (F.col("turn_idx") == 0), F.lit("NEW"))}
+    out = {
+        (r.conv_id, r.turn_idx): r
+        for r in apply_conditional_moves(df, [("tool", "tool_orig")], provided).collect()
+    }
+    assert out[("c1", 0)].tool == "NEW" and out[("c1", 0)].tool_orig is None
+    assert out[("c1", 1)].tool is None and out[("c1", 1)].tool_orig == "DEPRECATED"
+    assert out[("c2", 0)].tool_orig == "webcrawler-x"
+
+
+def test_local_id_deterministic(spark):
+    df = spark.createDataFrame(ROWS)
+    p = DefaultPolicy()
+    a = [r[0] for r in df.select(p.local_id(df)).collect()]
+    b = [r[0] for r in df.select(p.local_id(df)).collect()]
+    assert a == b and len(set(a)) == len(a)
+
+
+def test_decode_media_requires_codec(spark):
+    """The decode step is a stub without an injected codec."""
+    import pytest as _pytest
+
+    from marc_data_migration_spark.operators.multimodal import (
+        decode_media,
+        synthesize_media,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["abc"], "n_chars": [3]})
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_media(synthesize_media(docs))
