@@ -80,25 +80,79 @@ def run_suite(parallelism: int, sf_dir: str) -> tuple[dict[str, float], int]:
     return timings, n_events
 
 
+def synth_feed(spark, n_events: int, n_convs: int):
+    """Deterministic Spark-generated change feed (distributed, no
+    testdata dependency) — big enough that the scaling measurement is
+    compute-bound, not overhead-bound."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n_events).select(
+        F.when(F.col("id") % 17 == 0, "D")
+        .when(F.col("id") % 5 == 0, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.col("id").alias("lsn"),
+        F.timestamp_micros(F.col("id") + 1_700_000_000_000_000).alias("commit_ts"),
+        F.concat(F.lit("conv-"), F.pmod(F.xxhash64("id"), F.lit(n_convs)).cast("string")).alias(
+            "conv_id"
+        ),
+        F.pmod(F.col("id"), F.lit(40)).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")),
+            (F.pmod(F.col("id"), F.lit(4)) + 1).cast("int"),
+        ).alias("role"),
+        F.concat(F.lit("turn text "), F.md5(F.col("id").cast("string"))).alias("text"),
+        F.element_at(
+            F.array(F.lit("search"), F.lit("python"), F.lit("none")),
+            (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+        ).alias("tool"),
+        F.timestamp_micros(F.col("id")).alias("ts"),
+    )
+
+
+def scaling_run(parallelism: int, n_events: int) -> float:
+    """One CDC apply (dedup + full-outer merge + route counters) over the
+    synthetic feed; returns wall seconds (best-of happens across rounds in main)."""
+    from marc_data_migration_spark.operators.merge import apply_changes
+    from marc_data_migration_spark.session import get_spark as _gs
+
+    spark = _gs(f"scal-{parallelism}", parallelism=parallelism)
+    n_convs = max(n_events // 200, 10)
+    base = synth_feed(spark, n_events // 4, n_convs).drop("op", "commit_ts")
+    changes = synth_feed(spark, n_events, n_convs)
+    res = apply_changes(base, changes)
+    res.final.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    apply_changes(base, changes).final.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return dt
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
-        # sandbox proxy for the N vs 4N executor rule (BASELINE.md): same
-        # job, same input, two parallelism levels; efficiency on the
-        # CDC-apply throughput.
+        # Sandbox proxy for the N vs 4N executor rule (BASELINE.md): the
+        # same deterministic synthetic feed at two parallelism levels;
+        # efficiency = (thr_hi/thr_lo) / (hi/lo).
+        n_events = int(os.environ.get("SCALING_EVENTS", "4000000"))
+        rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
         lo, hi = max(CPUS // 4, 1), CPUS
-        t_lo, n = run_suite(lo, SF_DIR)
-        t_hi, _ = run_suite(hi, SF_DIR)
-        thr_lo = n / t_lo["cdc_apply"]
-        thr_hi = n / t_hi["cdc_apply"]
+        # interleave the two levels across rounds so the sandbox VM's
+        # throttled phases hit both equally; take best per level
+        t_lo, t_hi = float("inf"), float("inf")
+        for _ in range(rounds):
+            t_lo = min(t_lo, scaling_run(lo, n_events))
+            t_hi = min(t_hi, scaling_run(hi, n_events))
+        thr_lo, thr_hi = n_events / t_lo, n_events / t_hi
         eff = (thr_hi / thr_lo) / (hi / lo)
         print(
             json.dumps(
                 {
-                    "metric": "cdc_apply scaling efficiency",
+                    "metric": "cdc_apply scaling efficiency (local proxy for N vs 4N)",
                     "value": round(eff, 3),
                     "unit": "ratio",
-                    "sf": _sf(SF_DIR),
-                    "parallelism": {str(lo): t_lo, str(hi): t_hi},
+                    "n_events": n_events,
+                    "sec": {str(lo): round(t_lo, 2), str(hi): round(t_hi, 2)},
                     "events_per_sec": {str(lo): round(thr_lo), str(hi): round(thr_hi)},
                 }
             )

@@ -39,6 +39,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # Shuffle/spill on tmpfs when available: the sandbox block device has
+    # erratic latency that swamps benchmarks; a real cluster would use
+    # local NVMe. Harmless for correctness either way.
+    if os.path.isdir("/dev/shm"):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
