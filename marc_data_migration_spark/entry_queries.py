@@ -868,3 +868,189 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("media_id")
         .agg(F.count("*").alias("n_frames"))
     )
+
+
+# -- A3: per-field replacement counts (field_replacement_count.py:1-67;
+#    increments record_update.py:712,:742,:684) — how many applied
+#    matched updates actually changed each payload column -----------------
+
+
+@query(
+    "field_change_counts",
+    CDC_CTES
+    + """
+, upd AS (
+  SELECT c.role AS c_role, t.role AS t_role, c.text AS c_text, t.text AS t_text,
+         c.tool AS c_tool, t.tool AS t_tool, c.ts AS c_ts, t.ts AS t_ts
+  FROM latest c JOIN base t
+    ON t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx
+  WHERE c.op <> 'D' AND c.lsn > t.lsn
+), counts AS (
+  SELECT
+    CAST(sum(CASE WHEN c_role IS NOT NULL AND c_role IS DISTINCT FROM t_role THEN 1 ELSE 0 END) AS BIGINT) AS role,
+    CAST(sum(CASE WHEN c_text IS NOT NULL AND c_text IS DISTINCT FROM t_text THEN 1 ELSE 0 END) AS BIGINT) AS text,
+    CAST(sum(CASE WHEN c_tool IS NOT NULL AND c_tool IS DISTINCT FROM t_tool THEN 1 ELSE 0 END) AS BIGINT) AS tool,
+    CAST(sum(CASE WHEN c_ts IS NOT NULL AND c_ts IS DISTINCT FROM t_ts THEN 1 ELSE 0 END) AS BIGINT) AS ts
+  FROM upd
+)
+SELECT 'role' AS field, role AS n_changed FROM counts
+UNION ALL SELECT 'text', text FROM counts
+UNION ALL SELECT 'tool', tool FROM counts
+UNION ALL SELECT 'ts', ts FROM counts
+""",
+)
+def q_field_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    base = base_from_events(ev)
+    latest = latest_per_key(changes_from_events(ev))
+    t = base.select(
+        F.col("conv_id").alias("t_conv_id"),
+        F.col("turn_idx").alias("t_turn_idx"),
+        F.col("lsn").alias("t_lsn"),
+        *[F.col(c).alias(f"t_{c}") for c in ["role", "text", "tool", "ts"]],
+    )
+    j = latest.join(
+        t,
+        (latest.conv_id == t.t_conv_id) & (latest.turn_idx == t.t_turn_idx),
+    ).filter((F.col("op") != "D") & (F.col("lsn") > F.col("t_lsn")))
+
+    def changed(c: str):
+        # a null change column preserves the target (M9 never-clobber),
+        # so only non-null, value-differing columns count as replaced
+        return F.sum(
+            (
+                F.col(c).isNotNull() & ~F.col(c).eqNullSafe(F.col(f"t_{c}"))
+            ).cast("bigint")
+        ).alias(c)
+
+    agg = j.agg(changed("role"), changed("text"), changed("tool"), changed("ts"))
+    return agg.select(
+        F.expr(
+            "stack(4, 'role', role, 'text', text, 'tool', tool, 'ts', ts)"
+            " AS (field, n_changed)"
+        )
+    )
+
+
+# -- J4: broadcast dict/map lookup join + prefix-rule cascade
+#    (location_mapper.py:9-54 literal map, :66-108 prefix rules;
+#    applied pnca_policy.py:315-380) --------------------------------------
+
+
+@query(
+    "map_lookup_location",
+    """
+SELECT location, count(*) AS n FROM (
+  SELECT coalesce(
+    m.loc,
+    CASE WHEN CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) < 30 THEN 'stacks-low'
+         WHEN CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) < 70 THEN 'stacks-mid'
+         ELSE 'stacks-high' END
+  ) AS location
+  FROM events e
+  LEFT JOIN (VALUES ('purchase', 'acq'), ('signup', 'reg')) AS m(event_type, loc)
+    ON e.event_type = m.event_type
+) GROUP BY location
+""",
+)
+def q_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [("purchase", "acq"), ("signup", "reg")], ["event_type", "loc"]
+    )
+    k = F.regexp_extract(F.col("props"), '"k": (\\d+)', 1).cast("int")
+    prefix_loc = (
+        F.when(k < 30, "stacks-low").when(k < 70, "stacks-mid").otherwise("stacks-high")
+    )
+    return (
+        ev.join(F.broadcast(dim), "event_type", "left")
+        .select(F.coalesce(F.col("loc"), prefix_loc).alias("location"))
+        .groupBy("location")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# -- F7/F8: pipe-list parsing + date reformat (pnca_policy.py:281-298
+#    split 852$1 on '|', match ^Inventory/^Fund/^Policy:LIB; :296-298
+#    MM/DD/YYYY → yyyymmdd). The pipe list is composed deterministically
+#    from event columns, then parsed back with split/filter/transform ---
+
+
+@query(
+    "pipe_parse_derive",
+    """
+SELECT event_id,
+       strftime(ts, '%Y%m%d') AS inv_date,
+       'PNCA ' || event_type AS fund,
+       'PNOCIRC' AS circ
+FROM events WHERE event_type IN ('purchase', 'signup')
+""",
+)
+def q_pipe_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isin("purchase", "signup"))
+    raw = F.concat(
+        F.lit("Inventory:"),
+        F.date_format("ts", "MM/dd/yyyy"),
+        F.lit("|Fund:"),
+        F.col("event_type"),
+        F.lit("|Policy:LIB"),
+    )
+    parts = F.split(raw, "\\|")
+    inv = F.element_at(F.filter(parts, lambda x: x.rlike("^Inventory")), 1)
+    pat = r"Inventory:(\d{2})/(\d{2})/(\d{4})"
+    inv_date = F.concat(
+        F.regexp_extract(inv, pat, 3),
+        F.regexp_extract(inv, pat, 1),
+        F.regexp_extract(inv, pat, 2),
+    )
+    fund_item = F.element_at(F.filter(parts, lambda x: x.rlike("^Fund")), 1)
+    fund = F.concat(F.lit("PNCA "), F.regexp_replace(fund_item, "^Fund:", ""))
+    circ = F.when(
+        F.exists(parts, lambda x: x == F.lit("Policy:LIB")), F.lit("PNOCIRC")
+    )
+    return ev.select(
+        "event_id",
+        inv_date.alias("inv_date"),
+        fund.alias("fund"),
+        circ.alias("circ"),
+    )
+
+
+# -- W2: deterministic local-id assignment for unmatched records
+#    (pnca_policy.py:25,:174-223 — order-dependent global counter,
+#    replaced by a hash surrogate; deviation documented SURVEY.md §7) ----
+
+
+@query(
+    "local_id_assign",
+    CDC_CTES
+    + f"""
+SELECT c.conv_id, c.turn_idx,
+       {_md5int_sql("c.conv_id || ':' || CAST(c.turn_idx AS VARCHAR)")} AS local_id,
+       'PNCA' AS id_source
+FROM latest c LEFT JOIN base t
+  ON t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx
+WHERE t.conv_id IS NULL AND c.op <> 'D'
+""",
+)
+def q_local_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text_analysis import md5int
+
+    ev = _events(spark, sf_dir)
+    base = base_from_events(ev).select(
+        F.col("conv_id").alias("t_conv_id"), F.col("turn_idx").alias("t_turn_idx")
+    )
+    latest = latest_per_key(changes_from_events(ev)).filter(F.col("op") != "D")
+    unmatched = latest.join(
+        base,
+        (latest.conv_id == base.t_conv_id) & (latest.turn_idx == base.t_turn_idx),
+        "left_anti",
+    )
+    return unmatched.select(
+        "conv_id",
+        "turn_idx",
+        md5int(
+            F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string"))
+        ).alias("local_id"),
+        F.lit("PNCA").alias("id_source"),
+    )
