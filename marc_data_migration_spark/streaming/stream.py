@@ -57,15 +57,24 @@ def run_stream(
     evolved: bool = False,
     max_files_per_trigger: int = 1,
     salt_buckets: int = 0,
+    transform=None,
     **merge_opts,
 ):
     """Tail `feed_dir`, applying each micro-batch through the sink's
     idempotent MERGE. Blocks until the currently-available feed is
     drained (availableNow), then returns — call again after staging
-    more chunks with the same checkpoint to resume exactly-once."""
+    more chunks with the same checkpoint to resume exactly-once.
+
+    ``transform`` (DataFrame → DataFrame) is the policy-plugin hook
+    applied to each incoming batch before the merge — the distributed
+    analogue of the reference's per-record UpdatePolicy.execute
+    (record_update.py:475-477); running it on the change side keeps
+    replays idempotent (a skipped batch is skipped whole)."""
     schema = CHANGES_SCHEMA_V2 if evolved else CHANGES_SCHEMA
 
     def apply_batch(batch_df, batch_id: int):
+        if transform is not None:
+            batch_df = transform(batch_df)
         if salt_buckets:
             batch_df = batch_df.repartition(
                 salt_buckets,
