@@ -129,7 +129,78 @@ def scaling_run(parallelism: int, n_events: int) -> float:
     return dt
 
 
+def stream_e2e_run(parallelism: int, n_events: int, n_batches: int = 4) -> dict:
+    """End-to-end tail→commit throughput (the north metric's shape):
+    stage a synthetic WAL as parquet chunks, then time readStream →
+    foreachBatch → dedup/merge → bucketed-parquet MERGE commit +
+    lineage append, checkpoint included."""
+    import shutil
+    import tempfile
+
+    from marc_data_migration_spark.session import get_spark as _gs
+    from marc_data_migration_spark.streaming.sink_parquet import ParquetMergeSink
+    from marc_data_migration_spark.streaming.stream import run_stream
+
+    from pyspark.sql import functions as F
+
+    spark = _gs(f"stream-{parallelism}", parallelism=parallelism)
+    work = tempfile.mkdtemp(prefix="bench-stream-", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+    try:
+        n_convs = max(n_events // 200, 10)
+        feed_dir = os.path.join(work, "feed")
+        os.makedirs(feed_dir)
+        per_chunk = n_events // n_batches
+        # one parquet file per micro-batch (file source batches by file)
+        for i in range(n_batches):
+            stage = os.path.join(work, f"stage{i}")
+            (
+                synth_feed(spark, per_chunk, n_convs)
+                .withColumn("lsn", F.col("lsn") + i * per_chunk)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            os.rename(
+                os.path.join(stage, part),
+                os.path.join(feed_dir, f"chunk-{i:04d}.parquet"),
+            )
+        base = synth_feed(spark, n_events // 4, n_convs).drop("op", "commit_ts")
+        sink = ParquetMergeSink(spark, os.path.join(work, "lake"), n_buckets=parallelism)
+        sink.init(base)
+        t0 = time.perf_counter()
+        run_stream(
+            spark,
+            feed_dir,
+            sink,
+            os.path.join(work, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        dt = time.perf_counter() - t0
+        n_final = sink.read().count()
+        return {"sec": round(dt, 2), "events_per_sec": round(n_events / dt), "final_rows": n_final}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
+    if "--stream" in sys.argv:
+        n_events = int(os.environ.get("STREAM_EVENTS", "2000000"))
+        n_batches = int(os.environ.get("STREAM_BATCHES", "4"))
+        res = stream_e2e_run(CPUS, n_events, n_batches=n_batches)
+        print(
+            json.dumps(
+                {
+                    "metric": "stream end-to-end tail->commit throughput",
+                    "value": res["events_per_sec"],
+                    "unit": "events/sec",
+                    "n_events": n_events,
+                    **res,
+                }
+            )
+        )
+        return
     if "--scaling" in sys.argv:
         # Sandbox proxy for the N vs 4N executor rule (BASELINE.md): the
         # same deterministic synthetic feed at two parallelism levels;

@@ -39,6 +39,12 @@ class MergeResult:
     final: DataFrame  # post-merge target table state
     routed: DataFrame  # one row per deduped change: key, op, lsn, route, conflict
     bad: DataFrame  # quarantined malformed changes (reference S8 'bad' sink)
+    cached: DataFrame | None = None  # persisted join (persist_join=True);
+    # caller unpersists after consuming final/routed
+
+    def unpersist(self) -> None:
+        if self.cached is not None:
+            self.cached.unpersist()
 
 
 def split_bad(changes: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -61,6 +67,7 @@ def apply_changes(
     fuzzy_gate: bool = False,
     fuzzy_threshold: int = 50,
     require_perfect_match: bool = False,
+    persist_join: bool = False,
 ) -> MergeResult:
     """Apply a change batch to the target table state, returning the
     new state plus routing/quarantine side outputs.
@@ -146,9 +153,14 @@ def apply_changes(
         .when(apply_insert, F.lit("non-updated"))
         .when(is_insert & ~insert_ok, F.lit("skipped-insert"))
     )
+    # With persist_join the expensive dedup+join+gate runs ONCE; final,
+    # routed, lineage, and bad all project from the cache instead of
+    # re-executing the plan (one merge evaluation per micro-batch).
     j = j.withColumn("_route", route).withColumn(
         "_conflict", (matched_update & ~gate_ok).cast("int")
     )
+    if persist_join:
+        j = j.persist()
 
     merged_cols = []
     for col in all_payload:
@@ -175,4 +187,6 @@ def apply_changes(
         F.col("_conflict").alias("conflict"),
         F.col("_ratio").alias("ratio"),
     )
-    return MergeResult(final=final, routed=routed, bad=bad)
+    return MergeResult(
+        final=final, routed=routed, bad=bad, cached=j if persist_join else None
+    )

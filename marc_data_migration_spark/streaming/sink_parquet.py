@@ -95,21 +95,34 @@ class ParquetMergeSink:
         batch_id was already applied (checkpoint replay)."""
         if batch_id in self.applied_batch_ids():
             return None
+        # A micro-batch often arrives as one file → 1-2 input partitions,
+        # which would serialize the whole pre-shuffle pipeline on one
+        # task. Repartition on the MERGE keys: parallelism now, and the
+        # dedup groupBy + lookup join downstream reuse this exact
+        # hash-partitioning (EnsureRequirements adds no second Exchange).
+        n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        if batch_df.rdd.getNumPartitions() < n_part:
+            batch_df = batch_df.repartition(n_part, *KEY_COLS)
         batch_df = batch_df.persist()
         touched = [
             r.b
             for r in batch_df.select(bucket_expr(self.n_buckets).alias("b")).distinct().collect()
         ]
         base = self._read_buckets(touched) if self.exists() else self._empty_base(batch_df)
-        res = apply_changes(base, batch_df, **merge_opts)
+        # persist_join: the dedup+join+gate plan is evaluated exactly once
+        # (by the staging write below); routed/lineage/bad then project
+        # from the cache instead of re-running the merge.
+        res = apply_changes(base, batch_df, persist_join=True, **merge_opts)
 
         final = res.final.withColumn(BUCKET_COL, bucket_expr(self.n_buckets))
-        routed = res.routed.persist()
+        routed = res.routed
         # Write the new version of the touched buckets to a staging dir,
         # then swap partition directories into place. Writing straight
         # over data_path would race: the merge plan reads the very files
         # the dynamic-overwrite commit deletes. (Iceberg's snapshot
         # commit is the atomic version of this swap — sink_iceberg.py.)
+        # The staging write also materializes the persisted join, so the
+        # post-swap reads below never touch the replaced files.
         staging = os.path.join(self.path, f"_staging_batch_{batch_id}")
         (
             final.repartition(max(len(touched), 1), BUCKET_COL)
@@ -117,8 +130,6 @@ class ParquetMergeSink:
             .partitionBy(BUCKET_COL)
             .parquet(staging)
         )
-        routed.count()  # materialize the cache BEFORE the swap below
-        # invalidates the files its plan reads
         for b in touched:
             dst = os.path.join(self.data_path, f"{BUCKET_COL}={b}")
             src = os.path.join(staging, f"{BUCKET_COL}={b}")
@@ -133,7 +144,7 @@ class ParquetMergeSink:
         if res.bad.take(1):
             res.bad.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(self.bad_path)
         batch_df.unpersist()
-        routed.unpersist()
+        res.unpersist()
         return res
 
     def _empty_base(self, batch_df: DataFrame) -> DataFrame:
