@@ -1054,3 +1054,194 @@ def q_local_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("local_id"),
         F.lit("PNCA").alias("id_source"),
     )
+
+
+# -- J2: existence/duplicate join (check_duplicates.py:18-21,:52-57 —
+#    for each input key, probe the cache and report keys hit more than
+#    once). Spark shape: left-semi join against the base state + A1
+#    group-having on the change feed ------------------------------------
+
+
+@query(
+    "exists_dup_keys",
+    CDC_CTES
+    + """
+SELECT c.conv_id, c.turn_idx, count(*) AS n_changes
+FROM changes c
+WHERE EXISTS (
+  SELECT 1 FROM base t
+  WHERE t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx
+)
+GROUP BY c.conv_id, c.turn_idx
+HAVING count(*) > 1
+""",
+)
+def q_exists_dup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    ch = changes_from_events(ev)
+    base = base_from_events(ev).select("conv_id", "turn_idx")
+    return (
+        ch.join(base, ["conv_id", "turn_idx"], "left_semi")
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.count(F.lit(1)).alias("n_changes"))
+        .filter(F.col("n_changes") > 1)
+    )
+
+
+# -- M3: replace_only strategy (record_update.py:878-887 — update
+#    existing rows only, never insert unmatched). Same MERGE core as
+#    cdc_apply with insert_ok=False --------------------------------------
+
+
+@query(
+    "cdc_apply_replace_only",
+    CDC_CTES
+    + """
+, merged AS (
+  SELECT
+    coalesce(c.conv_id, t.conv_id) AS conv_id,
+    coalesce(c.turn_idx, t.turn_idx) AS turn_idx,
+    c.lsn IS NOT NULL AND (t.lsn IS NULL OR c.lsn > t.lsn) AS fresh,
+    t.lsn IS NOT NULL AS has_t,
+    c.op AS op,
+    CASE WHEN fresh AND c.op <> 'D' THEN coalesce(c.role, t.role) ELSE t.role END AS role,
+    CASE WHEN fresh AND c.op <> 'D' THEN coalesce(c.text, t.text) ELSE t.text END AS text,
+    CASE WHEN fresh AND c.op <> 'D' THEN coalesce(c.tool, t.tool) ELSE t.tool END AS tool,
+    CASE WHEN fresh AND c.op <> 'D' THEN coalesce(c.ts, t.ts) ELSE t.ts END AS ts,
+    CASE WHEN fresh AND c.op <> 'D' THEN c.lsn ELSE t.lsn END AS lsn
+  FROM base t FULL OUTER JOIN latest c
+    ON t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx
+)
+SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us, lsn
+FROM merged
+WHERE has_t AND NOT (fresh AND op = 'D')
+""",
+)
+def q_cdc_apply_replace_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    res = apply_changes(
+        base_from_events(ev), changes_from_events(ev), strategy="replace_only"
+    )
+    return res.final.select(
+        "conv_id", "turn_idx", "role", "text", "tool", _us("ts"), "lsn"
+    )
+
+
+# -- M8/M9: field move + conditional move (record_update.py:643-684,
+#    :654-670 — move tag A→B only when the lookup provides no
+#    replacement for A; preserve-local-data-on-no-overwrite) -------------
+
+
+@query(
+    "conditional_move",
+    CDC_CTES
+    + """
+SELECT t.conv_id, t.turn_idx,
+       CASE WHEN c.tool IS NULL THEN t.tool END AS tool_legacy,
+       coalesce(c.tool, t.tool) AS tool
+FROM base t JOIN latest c
+  ON t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx
+WHERE c.op <> 'D'
+""",
+)
+def q_conditional_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    base = base_from_events(ev).select(
+        "conv_id", "turn_idx", F.col("tool").alias("t_tool")
+    )
+    latest = latest_per_key(changes_from_events(ev)).filter(F.col("op") != "D")
+    j = base.join(
+        latest.select("conv_id", "turn_idx", F.col("tool").alias("c_tool")),
+        ["conv_id", "turn_idx"],
+    )
+    return j.select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("c_tool").isNull(), F.col("t_tool")).alias("tool_legacy"),
+        F.coalesce("c_tool", "t_tool").alias("tool"),
+    )
+
+
+# -- W3: ordered field insertion / stable turn ordering
+#    (record_update.py:710,:683 add_ordered_field; BASELINE.json
+#    invariant "per-turn text equality under stable turn ordering") ------
+
+
+@query(
+    "conv_turns_ordered",
+    CDC_CTES
+    + """
+SELECT conv_id,
+       count(*) AS n_turns,
+       string_agg(text, '|' ORDER BY turn_idx) AS turns
+FROM latest WHERE op <> 'D'
+GROUP BY conv_id
+""",
+)
+def q_conv_turns_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    latest = latest_per_key(changes_from_events(_events(spark, sf_dir)))
+    return (
+        latest.filter(F.col("op") != "D")
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda x: x.text,
+                ),
+                "|",
+            ).alias("turns"),
+        )
+    )
+
+
+# -- S11: JSON record serialization (reports.py:104-105
+#    record.as_json() → Postgres). Spark to_json omits null fields and
+#    DuckDB renders them, so the serialized struct is all-non-null ------
+
+
+@query(
+    "json_serialize",
+    CDC_CTES
+    + """
+SELECT conv_id, turn_idx,
+       to_json(struct_pack(
+         conv_id := conv_id, turn_idx := turn_idx,
+         role := role, tool := tool))::VARCHAR AS rec_json
+FROM latest WHERE op <> 'D'
+""",
+)
+def q_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    latest = latest_per_key(changes_from_events(_events(spark, sf_dir)))
+    return latest.filter(F.col("op") != "D").select(
+        "conv_id",
+        "turn_idx",
+        F.to_json(F.struct("conv_id", "turn_idx", "role", "tool")).alias("rec_json"),
+    )
+
+
+# -- P9/P10: control-vs-data and 1xx-family tag classifiers
+#    (record_update.py:837-841 `^00` regex; :595-612 `^1\\d{2}`) over a
+#    synthetic 3-digit tag derived from event_id ------------------------
+
+
+@query(
+    "tag_classify",
+    """
+SELECT event_id,
+       lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0') AS tag,
+       CAST(lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0') LIKE '00%' AS INT) AS is_control,
+       CAST(regexp_matches(lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0'), '^1[0-9]{2}$') AS INT) AS is_main_entry
+FROM events
+""",
+)
+def q_tag_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    tag = F.lpad((F.col("event_id") % 1000).cast("string"), 3, "0")
+    return ev.select(
+        "event_id",
+        tag.alias("tag"),
+        tag.startswith("00").cast("int").alias("is_control"),
+        tag.rlike(r"^1\d{2}$").cast("int").alias("is_main_entry"),
+    )
