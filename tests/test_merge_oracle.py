@@ -86,3 +86,24 @@ def test_evolve_additive_schema(spark):
     # earlier rows (not touched by second half) read as null
     assert got["tool_meta"].isna().any()
     assert got["tool_meta"].notna().any()
+
+
+def test_permutation_invariance(spark):
+    """Intra-batch arrival order never changes the final state: the
+    max-LSN dedup (W1) makes apply_changes a function of the change
+    *set*, not the change *sequence* (SURVEY.md §5 item 4)."""
+    base_pd = feedgen.gen_transcripts(n_convs=20, seed=13)
+    ch_pd = feedgen.gen_changes("delete", n_events=400, n_convs=20, seed=13)
+    base = spark.createDataFrame(base_pd)
+    reference = None
+    for perm_seed in range(3):
+        perm = ch_pd.sample(frac=1, random_state=perm_seed).reset_index(drop=True)
+        res = apply_changes(base, spark.createDataFrame(perm))
+        got = res.final.orderBy(*KEY_COLS).toPandas()
+        snap = list(
+            zip(got.conv_id, got.turn_idx, got.text.fillna("<N>"), got.lsn)
+        )
+        if reference is None:
+            reference = snap
+        else:
+            assert snap == reference

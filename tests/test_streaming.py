@@ -101,3 +101,46 @@ def test_delete_empties_bucket(spark, tmp_path):
     )
     sink.apply_merge(spark.createDataFrame(dels), batch_id=0)
     assert sink.read().count() == 0
+
+
+def test_stream_schema_evolution(spark, tmp_path):
+    """Mid-stream additive evolution (north_rule): the v1 feed has no
+    tool_meta column; v2 chunks arrive with it. Restarting the tail on
+    the same checkpoint with the evolved schema picks up where v1 left
+    off, the sink merges the new column additively (old rows read as
+    null), and the final state equals the sequential replay oracle."""
+    base_pd = feedgen.gen_transcripts(n_convs=20, seed=9)
+    ch_pd = feedgen.gen_changes("evolve", n_events=400, n_convs=20, seed=9)
+    ch_pd = ch_pd.sort_values("lsn").reset_index(drop=True)
+    half = len(ch_pd) // 2
+    # the column exists only from the v2 portion of the WAL onward
+    ch_pd.loc[: half - 1, "tool_meta"] = None
+    v1 = ch_pd.iloc[:half].drop(columns=["tool_meta"])
+    v2 = ch_pd.iloc[half:].reset_index(drop=True)
+    assert v2.tool_meta.notna().any()
+
+    sink = ParquetMergeSink(spark, str(tmp_path / "target"), n_buckets=8)
+    sink.init(spark.createDataFrame(base_pd))
+    feed, ckpt = str(tmp_path / "feed"), str(tmp_path / "ckpt")
+
+    stage_feed_chunks(_chunks(v1, 2), feed)
+    run_stream(spark, feed, sink, ckpt)
+    assert "tool_meta" not in sink.read().columns
+
+    stage_feed_chunks(_chunks(v2, 2), feed, start_at=2)
+    run_stream(spark, feed, sink, ckpt, evolved=True)
+
+    got = sink.read().orderBy(*KEY_COLS).toPandas()
+    assert "tool_meta" in got.columns
+    assert got.tool_meta.isna().any() and got.tool_meta.notna().any()
+    # Null-preserve merge (M2/M9) is defined against the *lake* state at
+    # each batch boundary, so the oracle replays the same micro-batches
+    # in sequence (one staged chunk = one batch at maxFilesPerTrigger=1).
+    want = base_pd
+    for chunk in _chunks(v1, 2) + _chunks(v2, 2):
+        want = oracle.replay(want, chunk)
+    want = want.sort_values(KEY_COLS).reset_index(drop=True)
+    assert list(zip(got.conv_id, got.turn_idx, got.text.fillna("<N>"), got.lsn)) == list(
+        zip(want.conv_id, want.turn_idx, want.text.fillna("<N>"), want.lsn)
+    )
+    assert list(got.tool_meta.fillna("<N>")) == list(want.tool_meta.fillna("<N>"))
