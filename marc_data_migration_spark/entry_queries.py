@@ -1245,3 +1245,46 @@ def q_tag_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag.startswith("00").cast("int").alias("is_control"),
         tag.rlike(r"^1\d{2}$").cast("int").alias("is_main_entry"),
     )
+
+
+# -- Stateful sessionization, batch form (streaming/stateful.py — the
+#    applyInPandasWithState operator's window-composition analogue;
+#    property-tested equal in tests/test_stateful.py) -------------------
+
+
+@query(
+    "conv_sessions",
+    CDC_CTES
+    + """
+, seq AS (
+  SELECT conv_id, commit_ts,
+         CASE WHEN epoch_us(commit_ts) // 1000000
+                 - lag(epoch_us(commit_ts) // 1000000)
+                   OVER (PARTITION BY conv_id ORDER BY commit_ts) > 3600
+              THEN 1 ELSE 0 END AS new_s
+  FROM changes
+), tagged AS (
+  SELECT conv_id, commit_ts,
+         sum(new_s) OVER (PARTITION BY conv_id ORDER BY commit_ts
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM seq
+)
+SELECT conv_id,
+       epoch_us(min(commit_ts)) AS session_start_us,
+       epoch_us(max(commit_ts)) AS session_end_us,
+       count(*) AS n_events
+FROM tagged GROUP BY conv_id, sess
+""",
+)
+def q_conv_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import sessionize_batch
+
+    ch = changes_from_events(_events(spark, sf_dir))
+    return sessionize_batch(ch, gap_seconds=3600).select(
+        "conv_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+            "session_start_us"
+        ),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("session_end_us"),
+        "n_events",
+    )
