@@ -187,7 +187,62 @@ def stream_e2e_run(parallelism: int, n_events: int, n_batches: int = 4) -> dict:
         spark.stop()
 
 
+def skew_bench(parallelism: int, n_events: int, rounds: int = 3) -> dict:
+    """Hot-key skew evidence (north_star): a Zipf-ish feed where 2 hot
+    conversations carry ~50% of events, deduped with each W1 strategy.
+    window  = textbook row_number (hot partitions land on one task),
+    salted  = two-phase salted window, agg = max(struct) partial agg.
+    Interleaved best-of-N per strategy (VM throttle phases)."""
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.operators.dedup import latest_per_key
+    from marc_data_migration_spark.session import get_spark as _gs
+
+    spark = _gs(f"skew-{parallelism}", parallelism=parallelism)
+    n_convs = max(n_events // 200, 10)
+    uniform = synth_feed(spark, n_events, n_convs)
+    # ~50% of events land on 4 hot (conv_id, turn_idx) keys — the shape
+    # that breaks a plain window (whole key → one task) but not the
+    # salted two-phase or partial-agg forms
+    is_hot = F.col("lsn") % 4 < 2
+    hot = F.concat(F.lit("hot-"), (F.col("lsn") % 2).cast("string"))
+    feed = uniform.withColumn(
+        "conv_id", F.when(is_hot, hot).otherwise(F.col("conv_id"))
+    ).withColumn(
+        "turn_idx",
+        F.when(is_hot, ((F.col("lsn") / 2) % 2).cast("int")).otherwise(
+            F.col("turn_idx")
+        ),
+    )
+    methods = ["window", "salted_window", "agg"]
+    latest_per_key(feed, method="agg").write.format("noop").mode("overwrite").save()
+    best: dict[str, float] = {}
+    for _ in range(rounds):
+        for m in methods:
+            df = latest_per_key(feed, method=m)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best[m] = min(best.get(m, float("inf")), time.perf_counter() - t0)
+    spark.stop()
+    return {m: round(s, 2) for m, s in best.items()}
+
+
 def main() -> None:
+    if "--skew" in sys.argv:
+        n_events = int(os.environ.get("SKEW_EVENTS", "8000000"))
+        secs = skew_bench(CPUS, n_events)
+        print(
+            json.dumps(
+                {
+                    "metric": "salted two-phase dedup speedup vs plain window on hot-key feed",
+                    "value": round(secs["window"] / secs["salted_window"], 2),
+                    "unit": "x",
+                    "n_events": n_events,
+                    "sec": secs,
+                }
+            )
+        )
+        return
     if "--stream" in sys.argv:
         n_events = int(os.environ.get("STREAM_EVENTS", "2000000"))
         n_batches = int(os.environ.get("STREAM_BATCHES", "4"))
