@@ -1288,3 +1288,50 @@ def q_conv_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("session_end").cast("timestamp")).alias("session_end_us"),
         "n_events",
     )
+
+
+# -- F3 perfect-match path with a real SQL oracle (fuzzy_match.py:38
+#    perfect path; record_update.py:360 `ratio == 100` gate).
+#    token_sort_ratio==100 ⇔ equal non-empty sorted-token strings —
+#    PROVIDED no truncation/rounding ambiguity: the InDel ratio rounds
+#    to 100 for ~1-char diffs over 256 chars, so the pair strings are
+#    built ≤200 normalized chars (the UDF's 256-char cap is then a
+#    no-op) and the "different" partner differs by a whole 20-char
+#    token (ratio ≤ ~95, far from the rounding edge). Even doc_ids get
+#    a token-reversed partner (same multiset → exactly 100) -------------
+
+
+@query(
+    "fuzzy_perfect_pairs",
+    """
+WITH d AS (
+  SELECT doc_id,
+         trim(substr(trim(lower(regexp_replace(text, '[^0-9a-zA-Z]+', ' ', 'g'))), 1, 200)) AS ta
+  FROM documents
+), p AS (
+  SELECT doc_id, ta,
+         CASE WHEN doc_id % 2 = 0
+              THEN array_to_string(list_reverse(string_split(ta, ' ')), ' ')
+              ELSE ta || ' zzqxzzqxzzqxzzqxzzqx' END AS tb
+  FROM d
+)
+SELECT doc_id,
+       CAST(ta <> '' AND
+            array_to_string(list_sort(string_split(ta, ' ')), ' ')
+              = array_to_string(list_sort(string_split(tb, ' ')), ' ')
+            AS INT) AS perfect
+FROM p
+""",
+)
+def q_fuzzy_perfect_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    proc = F.trim(F.lower(F.regexp_replace(F.col("text"), "[^0-9a-zA-Z]+", " ")))
+    ta = F.trim(F.substring(proc, 1, 200))
+    tb = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.array_join(F.reverse(F.split(ta, " ")), " "),
+    ).otherwise(F.concat(ta, F.lit(" zzqxzzqxzzqxzzqxzzqx")))
+    return docs.select(
+        "doc_id",
+        (token_sort_ratio(ta, tb) == 100).cast("int").alias("perfect"),
+    )
