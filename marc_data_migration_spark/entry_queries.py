@@ -1335,3 +1335,72 @@ def q_fuzzy_perfect_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (token_sort_ratio(ta, tb) == 100).cast("int").alias("perfect"),
     )
+
+
+# -- EP1 with the similarity gate ON, oracle-checked end-to-end:
+#    require_perfect_match (reference -pm flag, record_update.py:360)
+#    makes the gate ratio==100, which for short transcript texts is
+#    exactly "normalized sorted-token strings equal and non-empty" —
+#    so THE fuzzy-gated MERGE itself gets a DuckDB oracle. Matched
+#    updates failing the gate keep the target row (route 'unmodified');
+#    deletes and inserts are not gated (merge.py apply_changes) ---------
+
+_SNORM_SQL = """array_to_string(list_sort(string_split(
+  trim(lower(regexp_replace(
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(coalesce({x}, '')), '[.,/#!$%^&*;:{{}}\\[\\]=\\-_`~()]', ' ', 'g'),
+      '(?i)\\s(the|of|a|an|p|n)\\s', ' ', 'g'),
+    '\\s{{2,}}', ' ', 'g')),
+  '[^0-9a-zA-Z]+', ' ', 'g'))), ' ')), ' ')"""
+
+
+@query(
+    "cdc_apply_perfect_gate",
+    CDC_CTES
+    + f"""
+, merged AS (
+  SELECT
+    coalesce(c.conv_id, t.conv_id) AS conv_id,
+    coalesce(c.turn_idx, t.turn_idx) AS turn_idx,
+    c.lsn IS NOT NULL AND (t.lsn IS NULL OR c.lsn > t.lsn) AS fresh,
+    t.lsn IS NOT NULL AS has_t,
+    c.op AS op,
+    {_SNORM_SQL.format(x='c.text')} AS sc,
+    {_SNORM_SQL.format(x='t.text')} AS st,
+    c.role AS c_role, t.role AS t_role,
+    c.text AS c_text, t.text AS t_text,
+    c.tool AS c_tool, t.tool AS t_tool,
+    c.ts AS c_ts, t.ts AS t_ts,
+    c.lsn AS c_lsn, t.lsn AS t_lsn
+  FROM base t FULL OUTER JOIN latest c
+    ON t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx
+), flagged AS (
+  SELECT *,
+    fresh AND has_t AND op <> 'D' AS matched_update,
+    (fresh AND has_t AND op <> 'D' AND sc <> '' AND sc = st)
+      OR (fresh AND NOT has_t AND op <> 'D') AS applied,
+    fresh AND has_t AND op = 'D' AS deleted
+  FROM merged
+)
+SELECT conv_id, turn_idx,
+       CASE WHEN applied THEN coalesce(c_role, t_role) ELSE t_role END AS role,
+       CASE WHEN applied THEN coalesce(c_text, t_text) ELSE t_text END AS text,
+       CASE WHEN applied THEN coalesce(c_tool, t_tool) ELSE t_tool END AS tool,
+       epoch_us(CASE WHEN applied THEN coalesce(c_ts, t_ts) ELSE t_ts END) AS ts_us,
+       CASE WHEN applied THEN c_lsn ELSE t_lsn END AS lsn
+FROM flagged
+WHERE NOT deleted AND (has_t OR applied)
+""",
+)
+def q_cdc_apply_perfect_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    res = apply_changes(
+        base_from_events(ev),
+        changes_from_events(ev),
+        fuzzy_gate=True,
+        require_perfect_match=True,
+    )
+    return res.final.select(
+        "conv_id", "turn_idx", "role", "text", "tool", _us("ts"), "lsn"
+    )
