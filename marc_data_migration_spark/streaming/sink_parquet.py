@@ -53,6 +53,7 @@ class ParquetMergeSink:
         self.routed_path = os.path.join(path, "routed")
         self.bad_path = os.path.join(path, "bad")
         self.n_buckets = n_buckets
+        self._applied_ids: set[int] | None = None  # lazy ledger cache
 
     # -- target state ---------------------------------------------------
     def exists(self) -> bool:
@@ -84,10 +85,22 @@ class ParquetMergeSink:
 
     # -- exactly-once ledger ---------------------------------------------
     def applied_batch_ids(self) -> set[int]:
-        if not os.path.isdir(self.lineage_path):
-            return set()
-        rows = self.spark.read.parquet(self.lineage_path).select("batch_id").distinct().collect()
-        return {r.batch_id for r in rows}
+        """Ledger of applied batch_ids. The parquet ledger is read ONCE
+        per sink lifetime (resume path); afterwards the in-memory set is
+        maintained by apply_merge — a per-batch ledger re-read would be
+        an O(batches²) scan over a long-lived stream."""
+        if self._applied_ids is None:
+            if not os.path.isdir(self.lineage_path):
+                self._applied_ids = set()
+            else:
+                rows = (
+                    self.spark.read.parquet(self.lineage_path)
+                    .select("batch_id")
+                    .distinct()
+                    .collect()
+                )
+                self._applied_ids = {r.batch_id for r in rows}
+        return set(self._applied_ids)  # copy: callers must not alias the ledger
 
     # -- MERGE -----------------------------------------------------------
     def apply_merge(self, batch_df: DataFrame, batch_id: int, **merge_opts) -> MergeResult | None:
@@ -145,6 +158,7 @@ class ParquetMergeSink:
             res.bad.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(self.bad_path)
         batch_df.unpersist()
         res.unpersist()
+        self._applied_ids.add(batch_id)
         return res
 
     def _empty_base(self, batch_df: DataFrame) -> DataFrame:
