@@ -1404,3 +1404,46 @@ def q_cdc_apply_perfect_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.final.select(
         "conv_id", "turn_idx", "role", "text", "tool", _us("ts"), "lsn"
     )
+
+
+# -- embedding-cosine near-dup (dedup family over vectors; brief item).
+#    Random embeddings have no natural near-dups (max pairwise cosine
+#    <0.8 at sf0.01), so every 50th vector is planted as an exact copy
+#    under vec_id+10^7 — deterministically, identically on both the
+#    engine and oracle sides — and must be recovered through the
+#    sign-LSH bucket join (operators/similarity_search.py) --------------
+
+
+@query(
+    "embedding_neardup_pairs",
+    """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id % 50 = 0
+), e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM corpus
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(list_inner_product(a.v, b.v)
+          / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) AS score
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, score FROM scored WHERE score >= 0.95
+""",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity_search import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    return embedding_neardup_pairs(emb.unionByName(planted), threshold=0.95)

@@ -76,3 +76,40 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     scored = scored.select("q", id_col, F.round(cos, 4).alias("score"))
     w = Window.partitionBy("q").orderBy(F.col("score").desc(), F.col(id_col))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = LSH_BITS,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection — the dedup-family
+    member over vectors (brief: 'embedding-cosine near-dup'). Candidate
+    pairs come from the sign-LSH bucket equi-join (never a cross join);
+    survivors have rounded cosine ≥ threshold, oriented id_a < id_b.
+    At scale the bucket join shuffles each side once on the bucket key
+    and hot buckets split via AQE; recall is tuned by `bits` (fewer
+    bits → bigger buckets → higher recall, more compute)."""
+    e = corpus.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("v"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    j = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    score = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))),
+        4,
+    )
+    return (
+        j.select("id_a", "id_b", score.alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
