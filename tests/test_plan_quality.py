@@ -1,0 +1,28 @@
+"""Physical-plan quality guard: no query may plan a cartesian product
+or an unbounded nested-loop join — the two shapes that are quadratic
+at 100 TB. Complements the prose audit in PLANS.md with an automated
+check over every driver-contract query.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from marc_data_migration_spark.entry_queries import QUERIES
+
+# Brute-force cosine top-k is definitionally queries × corpus; the small
+# query side is broadcast and the LSH variant (lsh_ann_topk) is the
+# scale path — the one sanctioned nested-loop join in the engine.
+NLJ_ALLOWED = {"embedding_cosine_topk"}
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_quadratic_joins(spark, name):
+    plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in NLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a nested-loop join — quadratic at scale"
+        )
