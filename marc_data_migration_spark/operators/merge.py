@@ -113,11 +113,18 @@ def apply_changes(
     matched_update = fresh & has_t & (F.col("c_op") != "D")
 
     if fuzzy_gate:
+        # Catalyst extracts Python UDFs into an unconditional
+        # ArrowEvalPython node — a `when(matched_update, udf(...))`
+        # wrapper does NOT stop the UDF running on every joined row
+        # (verified via executedPlan). Gate the *inputs* instead: null
+        # text for non-candidate rows costs one null per row over Arrow
+        # and short-circuits in Python, so the LCS compute only runs on
+        # genuine matched-update candidates.
         ratio = F.when(
             matched_update,
             token_sort_ratio(
-                normalize_text(F.coalesce(F.col("c_text"), F.lit(""))),
-                normalize_text(F.coalesce(F.col("t_text"), F.lit(""))),
+                F.when(matched_update, normalize_text(F.coalesce(F.col("c_text"), F.lit("")))),
+                F.when(matched_update, normalize_text(F.coalesce(F.col("t_text"), F.lit("")))),
             ),
         )
         j = j.withColumn("_ratio", ratio)
