@@ -1447,3 +1447,40 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
     )
     return embedding_neardup_pairs(emb.unionByName(planted), threshold=0.95)
+
+
+# -- A2 as continuous windowed metrics (plans/lineage.py
+#    windowed_change_metrics — tumbling event-time window; on a stream
+#    the same expression runs under a watermark, tests/test_streaming) --
+
+
+@query(
+    "windowed_metrics",
+    CDC_CTES
+    + """
+SELECT epoch_us(date_trunc('minute', commit_ts)) AS window_start_us,
+       count(*) AS n_changes,
+       sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS n_inserts,
+       sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS n_updates,
+       sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes,
+       min(lsn) AS lsn_min,
+       max(lsn) AS lsn_max
+FROM changes
+GROUP BY 1
+""",
+)
+def q_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.lineage import windowed_change_metrics
+
+    ch = changes_from_events(_events(spark, sf_dir))
+    return windowed_change_metrics(ch, "1 minute").select(
+        F.unix_micros(F.col("window_start").cast("timestamp")).alias(
+            "window_start_us"
+        ),
+        "n_changes",
+        "n_inserts",
+        "n_updates",
+        "n_deletes",
+        "lsn_min",
+        "lsn_max",
+    )

@@ -144,3 +144,44 @@ def test_stream_schema_evolution(spark, tmp_path):
         zip(want.conv_id, want.turn_idx, want.text.fillna("<N>"), want.lsn)
     )
     assert list(got.tool_meta.fillna("<N>")) == list(want.tool_meta.fillna("<N>"))
+
+
+def test_windowed_metrics_stream_equals_batch(spark, tmp_path):
+    """A2 as a continuous windowed aggregation: streaming (watermark,
+    append mode — only finalized windows emit) produces exactly the
+    batch result for every window the watermark has passed."""
+    from marc_data_migration_spark.plans.lineage import windowed_change_metrics
+    from marc_data_migration_spark.schemas import CHANGES_SCHEMA
+
+    ch_pd = feedgen.gen_changes("upsert", n_events=600, n_convs=20, seed=17)
+    ch_pd = ch_pd.sort_values("lsn").reset_index(drop=True)
+    feed = str(tmp_path / "feed")
+    stage_feed_chunks(_chunks(ch_pd, 3), feed)
+
+    stream = (
+        spark.readStream.schema(CHANGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        windowed_change_metrics(stream, "1 minute", "2 minutes")
+        .writeStream.format("memory")
+        .queryName("win_metrics")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("win_metrics").orderBy("window_start").toPandas()
+
+    batch = windowed_change_metrics(spark.createDataFrame(ch_pd))
+    want = batch.orderBy("window_start").toPandas()
+    # append mode withholds windows the watermark hasn't passed (the
+    # trailing 2 minutes of event time); everything emitted must match
+    # the batch result row-for-row
+    assert len(got) >= 1
+    merged = want.merge(got, on="window_start", suffixes=("_b", "_s"))
+    assert len(merged) == len(got)  # every emitted window exists in batch
+    for c in ("n_changes", "n_inserts", "n_updates", "n_deletes", "lsn_min", "lsn_max"):
+        assert merged[f"{c}_b"].tolist() == merged[f"{c}_s"].tolist(), c
