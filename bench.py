@@ -178,6 +178,7 @@ def stream_e2e_run(parallelism: int, n_events: int, n_batches: int = 4) -> dict:
             sink,
             os.path.join(work, "ckpt"),
             max_files_per_trigger=1,
+            audit=os.environ.get("STREAM_AUDIT", "full"),
         )
         dt = time.perf_counter() - t0
         n_final = sink.read().count()

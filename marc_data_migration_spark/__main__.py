@@ -105,6 +105,7 @@ def cmd_stream(args) -> None:
         max_files_per_trigger=args.max_files_per_trigger,
         salt_buckets=args.salt_buckets,
         transform=transform,
+        audit=args.audit,
         **_merge_opts(args),
     )
     lineage = sink.lineage()
@@ -196,6 +197,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--salt-buckets", type=int, default=0, help="salted repartition for hot-conversation skew")
     p.add_argument("--max-files-per-trigger", type=int, default=1)
     p.add_argument("--evolved", action="store_true", help="read the additive v2 schema (tool_meta)")
+    p.add_argument("--audit", choices=["full", "lineage"], default="full", help="'lineage' sheds the per-change routed audit for max throughput (~25%% of batch cost)")
     _add_merge_flags(p)
     p.set_defaults(fn=cmd_stream)
 

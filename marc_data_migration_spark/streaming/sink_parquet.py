@@ -103,9 +103,25 @@ class ParquetMergeSink:
         return set(self._applied_ids)  # copy: callers must not alias the ledger
 
     # -- MERGE -----------------------------------------------------------
-    def apply_merge(self, batch_df: DataFrame, batch_id: int, **merge_opts) -> MergeResult | None:
+    def apply_merge(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        audit: str = "full",
+        **merge_opts,
+    ) -> MergeResult | None:
         """Idempotently MERGE one change batch. Returns None if the
-        batch_id was already applied (checkpoint replay)."""
+        batch_id was already applied (checkpoint replay).
+
+        ``audit`` — "full" (default) also persists the per-change routed
+        audit + quarantine tables (reference S10 per-record audit logs);
+        "lineage" writes only the aggregated lineage ledger (always on —
+        it is the exactly-once guard and the north_rule metrics table).
+        The full audit costs ~25% of batch wall time (BENCH/BASELINE.md
+        component profile); at maximum-throughput tailing it is the
+        first thing to shed."""
+        if audit not in ("full", "lineage"):
+            raise ValueError(f"unknown audit mode: {audit}")
         if batch_id in self.applied_batch_ids():
             return None
         # A micro-batch often arrives as one file → 1-2 input partitions,
@@ -153,9 +169,10 @@ class ParquetMergeSink:
         os.makedirs(self.data_path, exist_ok=True)
         lineage = batch_lineage(routed, batch_id, n_partitions=self.n_buckets)
         lineage.write.mode("append").parquet(self.lineage_path)
-        routed.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(self.routed_path)
-        if res.bad.take(1):
-            res.bad.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(self.bad_path)
+        if audit == "full":
+            routed.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(self.routed_path)
+            if res.bad.take(1):
+                res.bad.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(self.bad_path)
         batch_df.unpersist()
         res.unpersist()
         self._applied_ids.add(batch_id)

@@ -185,3 +185,19 @@ def test_windowed_metrics_stream_equals_batch(spark, tmp_path):
     assert len(merged) == len(got)  # every emitted window exists in batch
     for c in ("n_changes", "n_inserts", "n_updates", "n_deletes", "lsn_min", "lsn_max"):
         assert merged[f"{c}_b"].tolist() == merged[f"{c}_s"].tolist(), c
+
+
+def test_lineage_only_audit_mode(spark, tmp_path):
+    """audit='lineage' sheds the per-change routed/quarantine tables but
+    keeps the lineage ledger (the exactly-once guard) and produces the
+    identical final state."""
+    import os
+
+    base_pd, ch_pd, sink = _setup(spark, tmp_path, n_events=200, seed=23)
+    sink.apply_merge(spark.createDataFrame(ch_pd), batch_id=0, audit="lineage")
+    assert not os.path.isdir(sink.routed_path)
+    assert sink.lineage().count() > 0
+    assert sink.apply_merge(spark.createDataFrame(ch_pd), batch_id=0) is None
+    want = oracle.replay(base_pd, ch_pd)
+    got = _final_text(sink.read())
+    assert got == list(zip(want.conv_id, want.turn_idx, want.text.fillna("<N>"), want.lsn))
