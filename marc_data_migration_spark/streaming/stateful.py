@@ -96,8 +96,14 @@ def _sessionize_fn(gap_seconds: int):
                 start_us, n = int(t), 0
             last_us, n = int(t), n + 1
         state.update((start_us, last_us, n))
-        # event-time timeout: fires once the watermark passes last + gap
-        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        # Event-time timeout: fires once the watermark passes last + gap.
+        # Defensive clamp: rows behind the watermark are filtered before
+        # this function (verified empirically), so last + gap normally
+        # exceeds the watermark — but a timeout timestamp at or below it
+        # throws and kills the stream, so any engine-version variation
+        # in late-row filtering degrades to a next-batch timeout instead.
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_us // 1000 + gap_seconds * 1000, wm + 1))
         if closed:
             yield _emit(conv_id, closed)
 
