@@ -204,14 +204,16 @@ def skew_bench(parallelism: int, n_events: int, rounds: int = 3) -> dict:
     uniform = synth_feed(spark, n_events, n_convs)
     # ~50% of events land on 4 hot (conv_id, turn_idx) keys — the shape
     # that breaks a plain window (whole key → one task) but not the
-    # salted two-phase or partial-agg forms
+    # salted two-phase or partial-agg forms. NB: integer `div`, not `/`
+    # — float division made turn_idx a constant 0 (2 hot keys) in the
+    # first published run.
     is_hot = F.col("lsn") % 4 < 2
     hot = F.concat(F.lit("hot-"), (F.col("lsn") % 2).cast("string"))
     feed = uniform.withColumn(
         "conv_id", F.when(is_hot, hot).otherwise(F.col("conv_id"))
     ).withColumn(
         "turn_idx",
-        F.when(is_hot, ((F.col("lsn") / 2) % 2).cast("int")).otherwise(
+        F.when(is_hot, (F.expr("lsn div 4") % 2).cast("int")).otherwise(
             F.col("turn_idx")
         ),
     )

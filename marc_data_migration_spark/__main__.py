@@ -146,6 +146,14 @@ def cmd_apply(args) -> None:
 def cmd_report(args) -> None:
     spark = get_spark("cdc-report", parallelism=args.cpus)
     sink = ParquetMergeSink(spark, args.table)
+    if args.kind in ("route-counts", "dup-keys", "conflicts") and not os.path.isdir(
+        sink.routed_path
+    ):
+        raise SystemExit(
+            f"report '{args.kind}' needs the per-change routed audit table, "
+            f"which this lake was written without (stream --audit lineage). "
+            f"Re-run the stream with --audit full, or use 'report lineage'."
+        )
     if args.kind == "route-counts":
         df = sink.routed().groupBy("route").agg(F.count("*").alias("n")).orderBy("route")
     elif args.kind == "dup-keys":

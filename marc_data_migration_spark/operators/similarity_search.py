@@ -28,6 +28,14 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _cosine(a, b):
+    """Rounded cosine similarity — the single definition all three
+    operators (and their DuckDB oracles) must stay bit-identical to."""
+    return F.round(
+        _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 4
+    )
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact top-k by cosine: returns (q, vec_id, score) with
@@ -37,10 +45,9 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     )
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
     scored = F.broadcast(q).crossJoin(c).filter(F.col("q") != F.col(id_col))
-    cos = _dot(F.col("qv"), F.col("cv")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    scored = scored.select(
+        "q", id_col, _cosine(F.col("qv"), F.col("cv")).alias("score")
     )
-    scored = scored.select("q", id_col, F.round(cos, 4).alias("score"))
     w = Window.partitionBy("q").orderBy(F.col("score").desc(), F.col(id_col))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
@@ -70,10 +77,9 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
         sign_bucket(F.col(vec_col), bits).alias("bucket"),
     )
     scored = F.broadcast(q).join(c, "bucket").filter(F.col("q") != F.col(id_col))
-    cos = _dot(F.col("qv"), F.col("cv")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    scored = scored.select(
+        "q", id_col, _cosine(F.col("qv"), F.col("cv")).alias("score")
     )
-    scored = scored.select("q", id_col, F.round(cos, 4).alias("score"))
     w = Window.partitionBy("q").orderBy(F.col("score").desc(), F.col(id_col))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
@@ -104,12 +110,9 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket"
     )
     j = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    score = F.round(
-        _dot(F.col("va"), F.col("vb"))
-        / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))),
-        4,
-    )
     return (
-        j.select("id_a", "id_b", score.alias("score"))
+        j.select(
+            "id_a", "id_b", _cosine(F.col("va"), F.col("vb")).alias("score")
+        )
         .filter(F.col("score") >= threshold)
     )

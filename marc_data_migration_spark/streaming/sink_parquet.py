@@ -84,9 +84,9 @@ class ParquetMergeSink:
         return df.filter(F.col(BUCKET_COL).isin(buckets)).drop(BUCKET_COL)
 
     # -- exactly-once ledger ---------------------------------------------
-    def applied_batch_ids(self) -> set[int]:
-        """Ledger of applied batch_ids. The parquet ledger is read ONCE
-        per sink lifetime (resume path); afterwards the in-memory set is
+    def _ledger(self) -> set[int]:
+        """The in-memory applied-batch ledger. The parquet ledger is read
+        ONCE per sink lifetime (resume path); afterwards the set is
         maintained by apply_merge — a per-batch ledger re-read would be
         an O(batches²) scan over a long-lived stream."""
         if self._applied_ids is None:
@@ -100,7 +100,10 @@ class ParquetMergeSink:
                     .collect()
                 )
                 self._applied_ids = {r.batch_id for r in rows}
-        return set(self._applied_ids)  # copy: callers must not alias the ledger
+        return self._applied_ids
+
+    def applied_batch_ids(self) -> set[int]:
+        return set(self._ledger())  # copy: callers must not alias the ledger
 
     # -- MERGE -----------------------------------------------------------
     def apply_merge(
@@ -122,7 +125,7 @@ class ParquetMergeSink:
         first thing to shed."""
         if audit not in ("full", "lineage"):
             raise ValueError(f"unknown audit mode: {audit}")
-        if batch_id in self.applied_batch_ids():
+        if batch_id in self._ledger():
             return None
         # A micro-batch often arrives as one file → 1-2 input partitions,
         # which would serialize the whole pre-shuffle pipeline on one
@@ -185,7 +188,7 @@ class ParquetMergeSink:
                 res.bad.coalesce(8).withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(self.bad_path)
         batch_df.unpersist()
         res.unpersist()
-        self._applied_ids.add(batch_id)
+        self._ledger().add(batch_id)
         return res
 
     def _empty_base(self, batch_df: DataFrame) -> DataFrame:

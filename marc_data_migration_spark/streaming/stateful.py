@@ -73,8 +73,6 @@ def sessionize_batch(
 
 
 def _sessionize_fn(gap_seconds: int):
-    gap_us = gap_seconds * 1_000_000
-
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         (conv_id,) = key
         if state.hasTimedOut:
@@ -88,13 +86,22 @@ def _sessionize_fn(gap_seconds: int):
         if state.exists:
             start_us, last_us, n = state.get
         else:
-            start_us, last_us, n = int(us[0]), int(us[0]) - 1, 0
+            start_us, last_us, n = int(us[0]), int(us[0]), 0
         closed: list[tuple[int, int, int]] = []
         for t in us:  # events per (conv, batch) are few; dominated by Arrow IO
-            if t - last_us > gap_us and n > 0:
+            t = int(t)
+            # Gap test on floor-seconds — bit-identical to sessionize_batch's
+            # cast-to-long comparison and the conv_sessions SQL oracle
+            # (epoch_us // 1e6); a µs-precision test would split sessions
+            # the batch/backfill path keeps together.
+            if n > 0 and t // 1_000_000 - last_us // 1_000_000 > gap_seconds:
                 closed.append((start_us, last_us, n))
-                start_us, n = int(t), 0
-            last_us, n = int(t), n + 1
+                start_us, last_us, n = t, t, 0
+            # A late event (within the watermark delay) that sorts before
+            # the open session's last event merges into it without
+            # regressing the session end — min/max anchoring, the same
+            # semantics as Spark's built-in session_window for late rows.
+            start_us, last_us, n = min(start_us, t), max(last_us, t), n + 1
         state.update((start_us, last_us, n))
         # Event-time timeout: fires once the watermark passes last + gap.
         # Defensive clamp: rows behind the watermark are filtered before

@@ -6,6 +6,8 @@ check over every driver-contract query.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from marc_data_migration_spark.entry_queries import QUERIES
@@ -15,7 +17,11 @@ from marc_data_migration_spark.entry_queries import QUERIES
 # scale path — the one sanctioned nested-loop join in the engine.
 NLJ_ALLOWED = {"embedding_cosine_topk"}
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"testdata dir {SF_DIR} not present"
+)
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

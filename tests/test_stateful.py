@@ -107,3 +107,96 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     q.awaitTermination()
     got = _norm(spark.table("sessions_out").toPandas())
     assert got == want  # every real session emitted exactly once
+
+
+def test_subsecond_gap_parity(spark):
+    """The gap test floors to seconds in BOTH forms (the SQL oracle's
+    epoch_us//1e6 semantics): events gap+0.4s apart must stay one
+    session, not split by a µs-precision streaming comparison."""
+    import pandas as pd
+
+    rows = []
+    t = EPOCH
+    for i, delta_us in enumerate([0, GAP * 1_000_000 + 400_000]):
+        rows.append(
+            {
+                "op": "U",
+                "lsn": i + 1,
+                "commit_ts": EPOCH + pd.Timedelta(microseconds=delta_us),
+                "conv_id": "c",
+                "turn_idx": 0,
+                "role": "user",
+                "text": "x",
+                "tool": "n",
+                "ts": t,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    got = sessionize_batch(spark.createDataFrame(pdf), GAP).toPandas()
+    assert len(got) == 1  # floor-second diff == GAP, not > GAP
+
+    from marc_data_migration_spark.streaming.stateful import _sessionize_fn
+
+    class _FakeState:
+        hasTimedOut = False
+        exists = False
+
+        def update(self, v):
+            self.v = v
+
+        def setTimeoutTimestamp(self, ts):
+            pass
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    st = _FakeState()
+    list(_sessionize_fn(GAP)("c", iter([pdf[["commit_ts"]]]), st))
+    start_us, last_us, n = st.v
+    assert n == 2  # single open session — stream agrees with batch
+
+
+def test_late_event_does_not_regress_session_end(spark):
+    """A late event (older than the open session's last event) merges
+    in via min/max anchoring instead of rewinding session_end."""
+    import pandas as pd
+
+    from marc_data_migration_spark.streaming.stateful import _sessionize_fn
+
+    class _FakeState:
+        hasTimedOut = False
+
+        def __init__(self):
+            self.exists = False
+            self.v = None
+
+        def get(self):  # property-style access below
+            return self.v
+
+        def update(self, v):
+            self.v = v
+            self.exists = True
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    _FakeState.get = property(lambda self: self.v)
+    fn = _sessionize_fn(GAP)
+    st = _FakeState()
+
+    def batch(*secs):
+        pdf = pd.DataFrame({"commit_ts": [EPOCH + pd.Timedelta(seconds=s) for s in secs]})
+        return list(fn("c", iter([pdf]), st))
+
+    batch(100)  # open session at t=100
+    batch(95)  # late event, within watermark delay
+    start_us, last_us, n = st.v
+    assert last_us == (EPOCH + pd.Timedelta(seconds=100)).value // 1000  # not regressed
+    assert start_us == (EPOCH + pd.Timedelta(seconds=95)).value // 1000  # extended back
+    assert n == 2
+    # and the timeout anchors on the un-regressed end
+    assert st.timeout == last_us // 1000 + GAP * 1000
