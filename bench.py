@@ -34,6 +34,10 @@ HEADLINE = [
     "topk_orders_per_segment",
     "exact_dedup",
     "fuzzy_ratio_pairs",
+    "conv_sessions",
+    "minhash_lsh_pairs",
+    "embedding_neardup_pairs",
+    "windowed_metrics",
 ]
 
 
