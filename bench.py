@@ -173,7 +173,9 @@ def stream_e2e_run(parallelism: int, n_events: int, n_batches: int = 4) -> dict:
                 os.path.join(feed_dir, f"chunk-{i:04d}.parquet"),
             )
         base = synth_feed(spark, n_events // 4, n_convs).drop("op", "commit_ts")
-        sink = ParquetMergeSink(spark, os.path.join(work, "lake"), n_buckets=parallelism)
+        # bucket count is a TABLE property, not a cluster property — keep
+        # it fixed so scaling runs compare identical work at every level
+        sink = ParquetMergeSink(spark, os.path.join(work, "lake"), n_buckets=32)
         sink.init(base)
         t0 = time.perf_counter()
         run_stream(
@@ -246,6 +248,33 @@ def main() -> None:
                     "unit": "x",
                     "n_events": n_events,
                     "sec": secs,
+                }
+            )
+        )
+        return
+    if "--stream-scaling" in sys.argv:
+        # The north metric names the END-TO-END path (tail → commit);
+        # this measures that same path at two parallelism levels,
+        # interleaved across rounds like --scaling.
+        n_events = int(os.environ.get("STREAM_EVENTS", "2000000"))
+        n_batches = int(os.environ.get("STREAM_BATCHES", "2"))
+        rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
+        lo, hi = max(CPUS // 4, 1), CPUS
+        t_lo, t_hi = float("inf"), float("inf")
+        for _ in range(rounds):
+            t_lo = min(t_lo, stream_e2e_run(lo, n_events, n_batches=n_batches)["sec"])
+            t_hi = min(t_hi, stream_e2e_run(hi, n_events, n_batches=n_batches)["sec"])
+        thr_lo, thr_hi = n_events / t_lo, n_events / t_hi
+        eff = (thr_hi / thr_lo) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "stream tail->commit scaling efficiency (local proxy for N vs 4N)",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "n_events": n_events,
+                    "sec": {str(lo): round(t_lo, 2), str(hi): round(t_hi, 2)},
+                    "events_per_sec": {str(lo): round(thr_lo), str(hi): round(thr_hi)},
                 }
             )
         )

@@ -18,6 +18,7 @@ dynamic-partition-overwrite emulation.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schemas import KEY_COLS
 
@@ -72,6 +73,48 @@ def evolve_sql(table: str, new_cols: dict[str, str]) -> str:
     return f"ALTER TABLE {table} ADD COLUMNS ({cols})"
 
 
+def prepare_source(
+    batch_df: DataFrame,
+    target_keys_text: DataFrame,
+    fuzzy_gate: bool = False,
+    fuzzy_threshold: int = 50,
+    require_perfect_match: bool = False,
+) -> DataFrame:
+    """Build the MERGE source the SQL in :func:`merge_sql` assumes:
+    per-key max-LSN deduped changes with a precomputed ``gate_ok``.
+
+    The similarity gate compares incoming vs *existing* text, so it
+    cannot live inside the MERGE's WHEN clause (no pandas UDFs in SQL
+    MERGE conditions) — instead the target's ``(key, text)`` slice is
+    left-joined here and the Arrow UDF computes the gate up front,
+    mirroring record_update.py:352-443's lookup-then-compare order.
+    Runs on plain Spark (unit-testable without an Iceberg runtime)."""
+    from ..functions.normalize import normalize_text
+    from ..functions.similarity import token_sort_ratio
+    from ..operators.dedup import latest_per_key
+    from ..operators.merge import split_bad
+
+    good, _bad = split_bad(batch_df)
+    latest = latest_per_key(good)
+    if not fuzzy_gate:
+        return latest.withColumn("gate_ok", F.lit(True))
+    t = target_keys_text.select(
+        *KEY_COLS, F.col("text").alias("_t_text")
+    )
+    j = latest.join(t, KEY_COLS, "left_outer")
+    candidate = F.col("_t_text").isNotNull() & (F.col("op") != "D")
+    # input-gated UDF: see operators/merge.py — a `when` around the UDF
+    # call alone would still evaluate it on every row
+    ratio = token_sort_ratio(
+        F.when(candidate, normalize_text(F.coalesce(F.col("text"), F.lit("")))),
+        F.when(candidate, normalize_text(F.coalesce(F.col("_t_text"), F.lit("")))),
+    )
+    ok = ratio == 100 if require_perfect_match else ratio >= fuzzy_threshold
+    return j.withColumn(
+        "gate_ok", F.when(candidate, ok).otherwise(F.lit(True))
+    ).drop("_t_text")
+
+
 class IcebergMergeSink:
     """Same contract as ParquetMergeSink; requires a live catalog."""
 
@@ -86,7 +129,11 @@ class IcebergMergeSink:
         self.n_buckets = n_buckets
         spark.sql(create_table_sql(table, n_buckets))
 
-    def apply_merge(self, batch_df: DataFrame, batch_id: int, payload_cols: list[str]) -> None:
+    def apply_merge(
+        self, batch_df: DataFrame, batch_id: int, payload_cols: list[str], **gate_opts
+    ) -> None:
+        target = self.spark.table(self.table).select(*KEY_COLS, "text")
+        source = prepare_source(batch_df, target, **gate_opts)
         view = f"_changes_batch_{batch_id}"
-        batch_df.createOrReplaceTempView(view)
+        source.createOrReplaceTempView(view)
         self.spark.sql(merge_sql(self.table, view, payload_cols))

@@ -38,3 +38,51 @@ def test_evolve_sql_additive():
         evolve_sql("lake.db.transcripts", {"tool_meta": "string"})
         == "ALTER TABLE lake.db.transcripts ADD COLUMNS (tool_meta string)"
     )
+
+
+def test_prepare_source_gate(spark):
+    """prepare_source computes the gate_ok column merge_sql assumes:
+    deduped per key, gated only on matched non-delete rows, True
+    everywhere else (inserts, deletes, gate off)."""
+    import pandas as pd
+
+    from marc_data_migration_spark.streaming.sink_iceberg import prepare_source
+
+    EP = pd.Timestamp("2026-01-01")
+    ch = pd.DataFrame(
+        [
+            # matched key, same text -> gate passes
+            dict(op="U", lsn=1, commit_ts=EP, conv_id="c1", turn_idx=0,
+                 role="user", text="hello world", tool="t", ts=EP),
+            # matched key, disjoint text -> gate fails
+            dict(op="U", lsn=2, commit_ts=EP, conv_id="c1", turn_idx=1,
+                 role="user", text="zzz qqq xxx", tool="t", ts=EP),
+            # stale duplicate of (c1,1): dedup must keep lsn=2 only
+            dict(op="U", lsn=0, commit_ts=EP, conv_id="c1", turn_idx=1,
+                 role="user", text="hello world", tool="t", ts=EP),
+            # unmatched insert -> gate trivially True
+            dict(op="I", lsn=3, commit_ts=EP, conv_id="c9", turn_idx=0,
+                 role="user", text="new", tool="t", ts=EP),
+            # matched delete -> gate trivially True (deletes aren't gated)
+            dict(op="D", lsn=4, commit_ts=EP, conv_id="c1", turn_idx=2,
+                 role=None, text=None, tool=None, ts=pd.NaT),
+        ]
+    )
+    ch["turn_idx"] = ch["turn_idx"].astype("int32")
+    tgt = pd.DataFrame(
+        [
+            dict(conv_id="c1", turn_idx=0, text="hello world"),
+            dict(conv_id="c1", turn_idx=1, text="hello world"),
+            dict(conv_id="c1", turn_idx=2, text="bye"),
+        ]
+    )
+    tgt["turn_idx"] = tgt["turn_idx"].astype("int32")
+    out = prepare_source(
+        spark.createDataFrame(ch), spark.createDataFrame(tgt), fuzzy_gate=True
+    ).toPandas().set_index(["conv_id", "turn_idx"])
+    assert len(out) == 4  # stale lsn=0 deduped away
+    assert bool(out.loc[("c1", 0)].gate_ok) is True
+    assert bool(out.loc[("c1", 1)].gate_ok) is False  # disjoint text
+    assert bool(out.loc[("c9", 0)].gate_ok) is True  # insert
+    assert bool(out.loc[("c1", 2)].gate_ok) is True  # delete
+    assert out.loc[("c1", 1)].lsn == 2  # max-LSN survivor
