@@ -116,3 +116,68 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def sign_bucket_at(vec_col, offset: int, bits: int = LSH_BITS):
+    """Sign-LSH bucket from components [offset, offset+bits)."""
+    expr = F.lit(0)
+    for i in range(bits):
+        expr = expr + F.when(
+            F.element_at(vec_col, offset + i + 1) > 0, F.lit(2 ** i)
+        ).otherwise(0)
+    return expr
+
+
+def lsh_multitable_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = LSH_BITS,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Multi-table sign-LSH ANN — the standard recall lever: table t
+    buckets on the signs of components [t·bits, (t+1)·bits); a pair is
+    a candidate if it collides in ANY table (recall ≈ 1-(1-r)^L for
+    per-table recall r). Physically one equi-join: each side explodes
+    to (id, table, bucket) rows and joins on (table, bucket), then
+    candidates dedupe before scoring — never L separate joins, never a
+    cross join. Probe cost ≈ L·|corpus|/2^bits per query."""
+    assert n_tables * bits <= 64, "not enough embedding components"
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                sign_bucket_at(F.col("_v"), t * bits, bits).alias("bk"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+    def sides(df, name):
+        return (
+            df.select(
+                F.col(id_col).alias(name),
+                _as_double(F.col(vec_col)).alias("_v"),
+            )
+            .select(name, F.col("_v").alias(f"{name}_v"), F.explode(tables).alias("tb"))
+            .select(name, f"{name}_v", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk"))
+        )
+
+    qs = sides(queries, "q")
+    cs = sides(corpus, "cand")
+    pairs = (
+        F.broadcast(qs)
+        .join(cs, ["t", "bk"])
+        .filter(F.col("q") != F.col("cand"))
+        .select("q", "q_v", "cand", "cand_v")
+        .distinct()
+    )
+    scored = pairs.select(
+        "q",
+        F.col("cand").alias(id_col),
+        _cosine(F.col("q_v"), F.col("cand_v")).alias("score"),
+    )
+    w = Window.partitionBy("q").orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

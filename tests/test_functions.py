@@ -105,3 +105,24 @@ def test_jaccard_tokens(spark):
     got = [r.j for r in df.select(jaccard_tokens("a", "b").alias("j")).collect()]
     assert got[0] == 0.5  # {b,c} / {a,b,c,d}
     assert got[1] == 1.0
+
+
+def test_multitable_lsh_recall_floor(spark):
+    """Multi-table LSH must recover most of the exact top-3 (recall
+    lever over the single-table variant): measured 0.87 at bits=4 L=8
+    on the test embeddings — pinned at a 0.7 floor to allow noise."""
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.operators.similarity_search import (
+        cosine_topk,
+        lsh_multitable_ann_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {(r.q, r.vec_id) for r in cosine_topk(emb, q, k=3).collect()}
+    approx = {
+        (r.q, r.vec_id)
+        for r in lsh_multitable_ann_topk(emb, q, k=3, bits=4, n_tables=8).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.7
