@@ -1538,3 +1538,24 @@ def q_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_multitable_ann_topk(
         emb, emb.filter(F.col("vec_id") % 100 == 0), k=3, bits=4, n_tables=_MT_TABLES
     )
+
+
+# -- salted (time-sharded two-phase) sessionization — same output
+#    contract as conv_sessions, skew-broken for hot conversations
+#    (streaming/stateful.py sessionize_batch_salted; property-tested
+#    equal to the plain window in tests/test_stateful.py) ----------------
+
+
+@query("conv_sessions_salted", ORACLES["conv_sessions"])
+def q_conv_sessions_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import sessionize_batch_salted
+
+    ch = changes_from_events(_events(spark, sf_dir))
+    return sessionize_batch_salted(ch, gap_seconds=3600, shard_seconds=86400).select(
+        "conv_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+            "session_start_us"
+        ),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("session_end_us"),
+        "n_events",
+    )

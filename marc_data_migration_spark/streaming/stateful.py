@@ -151,3 +151,66 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def sessionize_batch_salted(
+    changes: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "commit_ts",
+    shard_seconds: int = 86400,
+) -> DataFrame:
+    """Skew-broken sessionization — the salting template for window
+    shapes WITHOUT a WindowGroupLimit pushdown (lag/lead/running sums),
+    where a hot conversation's whole partition otherwise lands on one
+    task (PLANS.md 'Dedup strategy choice under skew').
+
+    Two phases, *provably* equal to :func:`sessionize_batch`:
+
+    1. shard each conversation by time range (``floor(sec/shard)``) and
+       sessionize within ``(conv_id, shard)`` — a hot conversation now
+       parallelizes across its time shards. Shard boundaries only ADD
+       cuts: consecutive events inside a shard are consecutive
+       globally, so phase-1 sessions are the true sessions cut extra
+       at shard edges.
+    2. per conversation, merge adjacent phase-1 sessions whose
+       boundary gap ≤ gap — exactly reversing the extra cuts. The
+       phase-2 window runs over *sessions* (orders of magnitude fewer
+       rows than events), so the hot key is no longer hot.
+
+    The gap tests floor to seconds in both phases, matching
+    sessionize_batch and the SQL oracle bit-for-bit (property test:
+    random feeds, both paths equal)."""
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    sharded = changes.withColumn("_shard", F.floor(sec / shard_seconds))
+    w = Window.partitionBy("conv_id", "_shard").orderBy(ts_col)
+    s = F.col(ts_col).cast("timestamp").cast("long")
+    new_session = s - F.lag(s).over(w) > gap_seconds
+    sess = F.sum(F.when(new_session, 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pieces = (
+        sharded.withColumn("_sess", sess)
+        .groupBy("conv_id", "_shard", "_sess")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    start_sec = F.col("session_start").cast("timestamp").cast("long")
+    end_sec = F.col("session_end").cast("timestamp").cast("long")
+    w2 = Window.partitionBy("conv_id").orderBy("session_start")
+    new_chain = start_sec - F.lag(end_sec).over(w2) > gap_seconds
+    chain = F.sum(F.when(new_chain, 1).otherwise(0)).over(
+        w2.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        pieces.withColumn("_chain", chain)
+        .groupBy("conv_id", "_chain")
+        .agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .drop("_chain")
+    )

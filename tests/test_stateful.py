@@ -200,3 +200,46 @@ def test_late_event_does_not_regress_session_end(spark):
     assert n == 2
     # and the timeout anchors on the un-regressed end
     assert st.timeout == last_us // 1000 + GAP * 1000
+
+
+def test_salted_sessionize_equals_plain(spark):
+    """Property: the two-phase time-sharded sessionizer equals the
+    plain window form on random feeds — including sessions that span
+    shard boundaries and chains of merges across several shards."""
+    import numpy as np
+    import pandas as pd
+
+    from marc_data_migration_spark.streaming.stateful import (
+        sessionize_batch_salted,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for ci in range(6):
+        t = EPOCH + pd.Timedelta(seconds=int(rng.integers(0, 3600)))
+        for i in range(80):
+            rows.append(
+                {"conv_id": f"c{ci}", "commit_ts": t}
+            )
+            # mix of small intra-session steps and > gap jumps
+            t += pd.Timedelta(
+                seconds=int(rng.choice([5, 60, GAP - 1, GAP + 1, GAP * 3]))
+            )
+    pdf = pd.DataFrame(rows)
+    df = spark.createDataFrame(pdf)
+    plain = sessionize_batch(df, GAP).toPandas()
+    # tiny shards force many boundary cuts + multi-shard merge chains
+    salted = sessionize_batch_salted(df, GAP, shard_seconds=900).toPandas()
+
+    def norm(p):
+        return sorted(
+            zip(
+                p.conv_id,
+                p.session_start.astype("datetime64[us]"),
+                p.session_end.astype("datetime64[us]"),
+                p.n_events.astype(int),
+            )
+        )
+
+    assert norm(salted) == norm(plain)
+    assert len(plain) > 20  # non-trivial workload
