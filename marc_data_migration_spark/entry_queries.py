@@ -705,8 +705,15 @@ FROM (SELECT doc_id, {_LANG_SCORE_SQL} FROM documents)
 """,
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text_analysis import tokens
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", lang_id("text").alias("pred_lang"))
+    toked = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("_toks")
+    )
+    return toked.select(
+        "doc_id", lang_id("_toks", toks=F.col("_toks")).alias("pred_lang")
+    )
 
 
 @query(

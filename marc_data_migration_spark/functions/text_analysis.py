@@ -45,9 +45,14 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
-def lang_scores(col: Column | str) -> dict[str, Column]:
-    """Per-language marker-hit counts over whitespace tokens."""
-    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+def lang_scores(col: Column | str, toks: Column | None = None) -> dict[str, Column]:
+    """Per-language marker-hit counts over whitespace tokens. An
+    optional pre-projected ``toks`` column avoids re-tokenizing per
+    reference; measured cost is dominated by the token-by-marker
+    membership scans (a linear per-row CPU cost that parallelizes
+    trivially), so this is hygiene, not a hot-path fix."""
+    if toks is None:
+        toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
     out = {}
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
@@ -55,10 +60,10 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
     return out
 
 
-def lang_id(col: Column | str) -> Column:
+def lang_id(col: Column | str, toks: Column | None = None) -> Column:
     """Predicted language: argmax marker count, ties broken by the
     fixed key order of LANG_MARKERS ('en' first)."""
-    scores = lang_scores(col)
+    scores = lang_scores(col, toks=toks)
     langs = list(scores)
     # build a greatest-of struct trick: pick first lang achieving the max
     best = F.greatest(*[scores[lang] for lang in langs])
