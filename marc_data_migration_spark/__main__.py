@@ -143,6 +143,13 @@ def cmd_apply(args) -> None:
     print(json.dumps({"out": args.out, "final_rows": spark.read.parquet(os.path.join(args.out, "final")).count(), "routes": counts}))
 
 
+def cmd_compact(args) -> None:
+    spark = get_spark("cdc-compact", parallelism=args.cpus)
+    sink = ParquetMergeSink(spark, args.table)
+    before = sink.compact_audit(target_files=args.target_files)
+    print(json.dumps({"table": args.table, "files_before": before, "target_files": args.target_files}))
+
+
 def cmd_report(args) -> None:
     spark = get_spark("cdc-report", parallelism=args.cpus)
     sink = ParquetMergeSink(spark, args.table)
@@ -208,6 +215,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--audit", choices=["full", "lineage"], default="full", help="'lineage' sheds the per-change routed audit for max throughput (~25%% of batch cost)")
     _add_merge_flags(p)
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("compact", help="rewrite audit/ledger side tables into few files")
+    p.add_argument("--table", required=True)
+    p.add_argument("--target-files", type=int, default=8)
+    p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser("apply", help="one-shot batch replay of a changes parquet")
     p.add_argument("--base", required=True)

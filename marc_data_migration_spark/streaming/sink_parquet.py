@@ -201,3 +201,39 @@ class ParquetMergeSink:
 
     def routed(self) -> DataFrame:
         return self.spark.read.parquet(self.routed_path)
+
+
+    def compact_audit(self, target_files: int = 8) -> dict[str, int]:
+        """Maintenance pass for the append-only side tables: each batch
+        appends a few small parquet files to lineage/routed/bad, and a
+        long-lived stream accretes thousands (slow listings, tiny
+        reads). Rewrites each table into ≤``target_files`` files via a
+        staging dir + directory swap (the same commit pattern as the
+        data buckets; Iceberg's rewrite_data_files is the production
+        analogue). Content is unchanged — the exactly-once ledger reads
+        identically afterwards. Returns files-before per table."""
+        before: dict[str, int] = {}
+        for name, path in (
+            ("lineage", self.lineage_path),
+            ("routed", self.routed_path),
+            ("bad", self.bad_path),
+        ):
+            if not os.path.isdir(path):
+                continue
+            files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            before[name] = len(files)
+            if len(files) <= target_files:
+                continue
+            staging = path + "_compacting"
+            (
+                self.spark.read.parquet(path)
+                .coalesce(target_files)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            trash = path + "_old"
+            shutil.rmtree(trash, ignore_errors=True)
+            os.replace(path, trash)
+            os.replace(staging, path)
+            shutil.rmtree(trash, ignore_errors=True)
+        return before

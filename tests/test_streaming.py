@@ -201,3 +201,30 @@ def test_lineage_only_audit_mode(spark, tmp_path):
     want = oracle.replay(base_pd, ch_pd)
     got = _final_text(sink.read())
     assert got == list(zip(want.conv_id, want.turn_idx, want.text.fillna("<N>"), want.lsn))
+
+
+def test_compact_audit_preserves_content(spark, tmp_path):
+    """Compaction rewrites the side tables into few files without
+    changing content; the exactly-once ledger still blocks replays."""
+    import os
+
+    base_pd, ch_pd, sink = _setup(spark, tmp_path, n_events=300, seed=29)
+    chunks = _chunks(ch_pd, 3)
+    for i, c in enumerate(chunks):
+        sink.apply_merge(spark.createDataFrame(c), batch_id=i)
+    routed_before = sink.routed().orderBy("lsn").toPandas()
+    lineage_before = sink.lineage().orderBy("batch_id", "partition_id").toPandas()
+    n_files = lambda p: len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    assert n_files(sink.routed_path) > 2
+
+    before = sink.compact_audit(target_files=2)
+    assert before["routed"] > 2
+    assert n_files(sink.routed_path) <= 2
+    assert sink.routed().orderBy("lsn").toPandas().equals(routed_before)
+    assert (
+        sink.lineage().orderBy("batch_id", "partition_id").toPandas()
+        .equals(lineage_before)
+    )
+    # a fresh sink instance reads the compacted ledger and still skips
+    fresh = ParquetMergeSink(spark, sink.path, n_buckets=sink.n_buckets)
+    assert fresh.apply_merge(spark.createDataFrame(chunks[0]), batch_id=0) is None
