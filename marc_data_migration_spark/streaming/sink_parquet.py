@@ -62,9 +62,13 @@ class ParquetMergeSink:
         )
 
     def init(self, base: DataFrame) -> None:
+        # key-clustered within each bucket file: parquet row-group
+        # min/max stats on (conv_id, turn_idx) let point/range reads
+        # skip row groups — the local analogue of Iceberg's sort order
         (
             base.withColumn(BUCKET_COL, bucket_expr(self.n_buckets))
             .repartition(self.n_buckets, BUCKET_COL)
+            .sortWithinPartitions(BUCKET_COL, *KEY_COLS)
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(self.data_path)
@@ -158,6 +162,11 @@ class ParquetMergeSink:
         staging = os.path.join(self.path, f"_staging_batch_{batch_id}")
         (
             final.repartition(max(len(touched), 1), BUCKET_COL)
+            # bucket first: the dynamic-partition writer requires its
+            # ordering to be prefixed by the partition column, else it
+            # inserts its own bucket-only sort and destroys the key
+            # clustering; (bucket, conv, turn) satisfies both
+            .sortWithinPartitions(BUCKET_COL, *KEY_COLS)
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(staging)

@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 
 import pandas as pd
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import CHANGES_SCHEMA, CHANGES_SCHEMA_V2
@@ -96,3 +96,44 @@ def run_stream(
     )
     q.awaitTermination()
     return q
+
+
+def parse_wal_json(raw: DataFrame, evolved: bool = False) -> DataFrame:
+    """Decode a WAL record from a (key, value, offset-ish) transport
+    frame — the schema-typed parse used by :func:`kafka_changes_stream`
+    and unit-testable on any batch DataFrame with (value: binary/str)
+    columns. The JSON payload carries the logical fields including
+    ``lsn`` (transport offsets are partition-scoped and non-comparable
+    across partitions, so the WAL's own LSN is authoritative —
+    reference: file order, record_update.py:182-254)."""
+    schema = CHANGES_SCHEMA_V2 if evolved else CHANGES_SCHEMA
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("c")
+    )
+    return parsed.select("c.*")
+
+
+def kafka_changes_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    evolved: bool = False,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Production WAL tail: a Kafka topic keyed by conv_id (so the feed
+    arrives hash-distributed on the MERGE key and the dedup shuffle is
+    the only wide exchange — module docstring). Requires the
+    spark-sql-kafka jar on the cluster; everything downstream
+    (foreachBatch, sink, checkpoint) is source-agnostic. The local
+    file-source path exercises the identical parse via
+    :func:`parse_wal_json`."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return parse_wal_json(reader.load(), evolved=evolved)

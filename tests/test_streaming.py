@@ -228,3 +228,38 @@ def test_compact_audit_preserves_content(spark, tmp_path):
     # a fresh sink instance reads the compacted ledger and still skips
     fresh = ParquetMergeSink(spark, sink.path, n_buckets=sink.n_buckets)
     assert fresh.apply_merge(spark.createDataFrame(chunks[0]), batch_id=0) is None
+
+
+def test_parse_wal_json_roundtrip(spark):
+    """The Kafka-transport JSON parse recovers every CHANGES_SCHEMA
+    field (and the evolved column) exactly; malformed payloads become
+    all-null rows that split_bad quarantines downstream."""
+    import json as _json
+
+    from marc_data_migration_spark.operators.merge import split_bad
+    from marc_data_migration_spark.streaming.stream import parse_wal_json
+
+    payload = {
+        "op": "U",
+        "lsn": 7,
+        "commit_ts": "2026-02-01T00:00:05.000000",
+        "conv_id": "conv-9",
+        "turn_idx": 3,
+        "role": "assistant",
+        "text": "hello",
+        "tool": "search",
+        "ts": "2026-02-01T00:00:04.000000",
+        "tool_meta": "m1",
+    }
+    raw = spark.createDataFrame(
+        [(_json.dumps(payload),), ("{not json",)], ["value"]
+    )
+    out = parse_wal_json(raw, evolved=True)
+    good, bad = split_bad(out)
+    rows = good.collect()
+    assert len(rows) == 1 and bad.count() == 1
+    r = rows[0]
+    assert (r.op, r.lsn, r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.tool_meta) == (
+        "U", 7, "conv-9", 3, "assistant", "hello", "search", "m1"
+    )
+    assert str(r.commit_ts) == "2026-02-01 00:00:05"
