@@ -1566,3 +1566,32 @@ def q_conv_sessions_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("session_end").cast("timestamp")).alias("session_end_us"),
         "n_events",
     )
+
+
+# -- multimodal resize plumbing (operators/multimodal.py resize_media —
+#    mapInPandas binary→binary with metadata update; the byte transform
+#    is the documented stub, the Spark contract is real) ----------------
+
+
+@query(
+    "media_resize",
+    """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(64 AS BIGINT) AS n_bytes,
+       CAST(64 AS VARCHAR) AS resized_bytes
+FROM documents
+""",
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import fake_resize, resize_media, synthesize_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = synthesize_media(docs)
+    resized = resize_media(media, target_bytes=64, resizer=fake_resize)
+    return resized.select(
+        "media_id",
+        "kind",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.col("meta")["resized_bytes"].alias("resized_bytes"),
+    )

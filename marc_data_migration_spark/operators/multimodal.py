@@ -113,3 +113,57 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 128) -> DataFrame:
         df.filter(F.col("kind") == "video")
         .select("media_id", F.posexplode(frames).alias("frame_idx", "frame"))
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def fake_resize(payload: bytes, kind: str, target_bytes: int) -> bytes:
+    """Deterministic resize stand-in: truncate or zero-pad the blob to
+    ``target_bytes`` (a real hook decodes, rescales to WxH / resamples,
+    re-encodes). Replace on a cluster with PIL/ffmpeg."""
+    if payload is None:
+        return b"\x00" * target_bytes
+    return payload[:target_bytes] + b"\x00" * max(target_bytes - len(payload), 0)
+
+
+def resize_media(
+    df: DataFrame,
+    target_bytes: int = 256,
+    resizer: Callable[[bytes, str, int], bytes] | None = None,
+) -> DataFrame:
+    """mapInPandas resize pass — same Arrow-batched plumbing a real
+    image/audio rescale runs in (binary in → binary out, metadata map
+    updated with the new size; schema/partitioning/batch shape are the
+    real contract, the byte transform is the stub). ``resizer=None``
+    raises, mirroring decode_media's stubbed-codec policy."""
+    if resizer is None:
+        raise NotImplementedError(
+            "no media resizer in this environment — pass resizer=fake_resize "
+            "or a real rescaler (PIL/ffmpeg) on a cluster with the libs"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [resizer(p, k, target_bytes) for p, k in zip(pdf["payload"], pdf["kind"])]
+            meta = [
+                {**(m if isinstance(m, dict) else dict(m or {})), "resized_bytes": str(target_bytes)}
+                for m in pdf["meta"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out,
+                    "meta": meta,
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)

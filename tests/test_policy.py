@@ -75,3 +75,24 @@ def test_decode_media_requires_codec(spark):
     )
     with _pytest.raises(NotImplementedError):
         decode_media(synthesize_media(docs))
+
+
+def test_resize_media_stub_contract(spark):
+    """resize_media: binary in → binary out at the target size, metadata
+    updated; refuses to run without an injected resizer (stub policy)."""
+    import pytest
+
+    from marc_data_migration_spark.operators.multimodal import (
+        fake_resize,
+        resize_media,
+        synthesize_media,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    media = synthesize_media(docs)
+    with pytest.raises(NotImplementedError):
+        resize_media(media)
+    out = resize_media(media, target_bytes=32, resizer=fake_resize).collect()
+    assert len(out) == 20
+    assert all(len(r.payload) == 32 for r in out)
+    assert all(r.meta["resized_bytes"] == "32" for r in out)
