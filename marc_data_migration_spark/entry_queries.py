@@ -1595,3 +1595,54 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").cast("long").alias("n_bytes"),
         F.col("meta")["resized_bytes"].alias("resized_bytes"),
     )
+
+
+# -- SimHash duplicate clusters (dedup-family companion to simhash_16:
+#    equal 16-bit signatures = hamming-0 near-dup groups; banded
+#    hamming-k probing composes the same way MinHash banding does) ------
+
+
+@query(
+    "simhash_dup_clusters",
+    f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split({_norm_sql('text')}, ' ')) AS tok FROM documents)
+),
+bits AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN ({_md5int_sql('tok')} >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM toks, (SELECT unnest(generate_series(0, 15)) AS bit)
+  GROUP BY doc_id, bit
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS exemplar
+FROM sigs GROUP BY simhash HAVING count(*) > 1
+""",
+)
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        simhash(docs)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("exemplar"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# -- W1 via the salted two-phase window, checked against the SAME
+#    oracle as the agg form (operators/dedup.py salted_window — the
+#    skew-breaking variant; property-tested equal in
+#    tests/test_merge_oracle.py, here proven against SQL too) -----------
+
+
+@query("cdc_dedup_salted", ORACLES["cdc_dedup_max_lsn"])
+def q_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_from_events(_events(spark, sf_dir))
+    return latest_per_key(ch, method="salted_window").select(
+        "conv_id", "turn_idx", "op", "lsn", "text", _us("commit_ts")
+    )
