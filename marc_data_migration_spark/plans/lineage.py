@@ -13,7 +13,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def batch_lineage(routed: DataFrame, batch_id: int, n_partitions: int = 8) -> DataFrame:
+def batch_lineage(
+    routed: DataFrame, batch_id: int, n_partitions: int = 8, n_bad: int = 0
+) -> DataFrame:
     """Aggregate a batch's routed outcomes into lineage rows, one per
     key-hash partition (per-partition applied LSN ranges — north_rule).
     A single shuffle: groupBy(partition_id) with conditional aggs."""
@@ -43,6 +45,7 @@ def batch_lineage(routed: DataFrame, batch_id: int, n_partitions: int = 8) -> Da
             F.col("rows_updated").cast("long"),
             F.col("rows_deleted").cast("long"),
             F.col("conflict_count").cast("long"),
+            F.lit(n_bad).cast("long").alias("rows_quarantined"),
             F.current_timestamp().alias("commit_ts"),
         )
     )

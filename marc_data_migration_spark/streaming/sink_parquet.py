@@ -184,7 +184,13 @@ class ParquetMergeSink:
         # coalesce never collapses the merge compute itself), and a
         # long-lived stream otherwise accretes shuffle-partition-count
         # tiny files per batch. Measured 4.5× on the routed append.
-        lineage = batch_lineage(routed, batch_id, n_partitions=self.n_buckets)
+        # quarantine count rides the lineage metrics (north_rule: per-
+        # partition row/conflict counts) — a cache-scan count, the batch
+        # feed is persisted above
+        n_bad = res.bad.count()
+        lineage = batch_lineage(
+            routed, batch_id, n_partitions=self.n_buckets, n_bad=n_bad
+        )
         lineage.coalesce(1).write.mode("append").parquet(self.lineage_path)
         if audit == "full":
             (
@@ -193,7 +199,7 @@ class ParquetMergeSink:
                 .write.mode("append")
                 .parquet(self.routed_path)
             )
-            if res.bad.take(1):
+            if n_bad:
                 res.bad.coalesce(8).withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(self.bad_path)
         batch_df.unpersist()
         res.unpersist()
@@ -206,7 +212,9 @@ class ParquetMergeSink:
         return empty.select(*KEY_COLS, *[c for c in empty.columns if c not in KEY_COLS])
 
     def lineage(self) -> DataFrame:
-        return self.spark.read.parquet(self.lineage_path)
+        # mergeSchema: lakes written before rows_quarantined existed mix
+        # lineage schemas within one directory
+        return self.spark.read.option("mergeSchema", "true").parquet(self.lineage_path)
 
     def routed(self) -> DataFrame:
         return self.spark.read.parquet(self.routed_path)

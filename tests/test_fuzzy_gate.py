@@ -82,3 +82,22 @@ def test_bad_records_quarantined(spark):
     res = apply_changes(spark.createDataFrame(BASE), spark.createDataFrame(bad))
     assert res.bad.count() == 2
     assert res.final.count() == len(BASE)  # untouched
+
+
+def test_quarantine_count_in_lineage(spark, tmp_path):
+    """Bad rows (null key / unknown op) surface in the lineage metrics
+    as rows_quarantined, not only as quarantine files."""
+    import pandas as pd
+
+    from marc_data_migration_spark import feedgen
+    from marc_data_migration_spark.streaming.sink_parquet import ParquetMergeSink
+
+    base_pd = feedgen.gen_transcripts(n_convs=5, seed=3)
+    ch_pd = feedgen.gen_changes("upsert", n_events=50, n_convs=5, seed=3)
+    ch_pd.loc[ch_pd.index[:3], "conv_id"] = None  # 3 malformed rows
+    sink = ParquetMergeSink(spark, str(tmp_path / "lake"), n_buckets=4)
+    sink.init(spark.createDataFrame(base_pd))
+    sink.apply_merge(spark.createDataFrame(ch_pd), batch_id=0)
+    lin = sink.lineage().toPandas()
+    assert int(lin.rows_quarantined.max()) == 3
+    assert sink.spark.read.parquet(sink.bad_path).count() == 3
