@@ -54,9 +54,16 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
 
 def sign_bucket(vec_col, bits: int = LSH_BITS):
     """LSH bucket from the signs of the first `bits` components."""
+    return sign_bucket_at(vec_col, 0, bits)
+
+
+def sign_bucket_at(vec_col, offset: int, bits: int = LSH_BITS):
+    """Sign-LSH bucket from components [offset, offset+bits)."""
     expr = F.lit(0)
     for i in range(bits):
-        expr = expr + F.when(F.element_at(vec_col, i + 1) > 0, F.lit(2 ** i)).otherwise(0)
+        expr = expr + F.when(
+            F.element_at(vec_col, offset + i + 1) > 0, F.lit(2 ** i)
+        ).otherwise(0)
     return expr
 
 
@@ -118,16 +125,6 @@ def embedding_neardup_pairs(
     )
 
 
-def sign_bucket_at(vec_col, offset: int, bits: int = LSH_BITS):
-    """Sign-LSH bucket from components [offset, offset+bits)."""
-    expr = F.lit(0)
-    for i in range(bits):
-        expr = expr + F.when(
-            F.element_at(vec_col, offset + i + 1) > 0, F.lit(2 ** i)
-        ).otherwise(0)
-    return expr
-
-
 def lsh_multitable_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -136,48 +133,55 @@ def lsh_multitable_ann_topk(
     id_col: str = "vec_id",
     bits: int = LSH_BITS,
     n_tables: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """Multi-table sign-LSH ANN — the standard recall lever: table t
     buckets on the signs of components [t·bits, (t+1)·bits); a pair is
     a candidate if it collides in ANY table (recall ≈ 1-(1-r)^L for
-    per-table recall r). Physically one equi-join: each side explodes
-    to (id, table, bucket) rows and joins on (table, bucket), then
-    candidates dedupe before scoring — never L separate joins, never a
-    cross join. Probe cost ≈ L·|corpus|/2^bits per query."""
-    assert n_tables * bits <= 64, "not enough embedding components"
+    per-table recall r). Physically: both sides explode to SLIM
+    (id, table, bucket) rows — vectors never ride the candidate
+    shuffle or the distinct — candidates dedupe on ids, and the
+    id→vector map joins back once for scoring. Probe cost ≈
+    L·|corpus|/2^bits per query.
+
+    ``dim`` is the declared embedding dimension: offsets past the
+    array end would silently bucket to 0 (element_at → null → the
+    `when` falls through), turning that table into an all-pairs join —
+    validated here instead."""
+    if n_tables * bits > dim:
+        raise ValueError(
+            f"n_tables*bits = {n_tables * bits} exceeds dim={dim}: "
+            "out-of-range components would silently bucket to 0 "
+            "(a disguised cross join for those tables)"
+        )
     tables = F.array(
         *[
             F.struct(
                 F.lit(t).alias("t"),
-                sign_bucket_at(F.col("_v"), t * bits, bits).alias("bk"),
+                sign_bucket_at(F.col(vec_col), t * bits, bits).alias("bk"),
             )
             for t in range(n_tables)
         ]
     )
 
-    def sides(df, name):
-        return (
-            df.select(
-                F.col(id_col).alias(name),
-                _as_double(F.col(vec_col)).alias("_v"),
-            )
-            .select(name, F.col("_v").alias(f"{name}_v"), F.explode(tables).alias("tb"))
-            .select(name, f"{name}_v", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk"))
+    def buckets(df, name):
+        return df.select(F.col(id_col).alias(name), F.explode(tables).alias("tb")).select(
+            name, F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk")
         )
 
-    qs = sides(queries, "q")
-    cs = sides(corpus, "cand")
-    pairs = (
-        F.broadcast(qs)
-        .join(cs, ["t", "bk"])
+    cand_ids = (
+        F.broadcast(buckets(queries, "q"))
+        .join(buckets(corpus, "cand"), ["t", "bk"])
         .filter(F.col("q") != F.col("cand"))
-        .select("q", "q_v", "cand", "cand_v")
+        .select("q", "cand")
         .distinct()
     )
-    scored = pairs.select(
-        "q",
-        F.col("cand").alias(id_col),
-        _cosine(F.col("q_v"), F.col("cand_v")).alias("score"),
+    qv = queries.select(F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("q_v"))
+    cv = corpus.select(F.col(id_col).alias("cand"), _as_double(F.col(vec_col)).alias("cand_v"))
+    scored = (
+        cand_ids.join(F.broadcast(qv), "q")
+        .join(cv, "cand")
+        .select("q", F.col("cand").alias(id_col), _cosine(F.col("q_v"), F.col("cand_v")).alias("score"))
     )
     w = Window.partitionBy("q").orderBy(F.col("score").desc(), F.col(id_col))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

@@ -22,7 +22,7 @@ def batch_lineage(
     by_part = routed.withColumn(
         "partition_id", F.pmod(F.xxhash64("conv_id"), F.lit(n_partitions)).cast("int")
     )
-    return (
+    per_part = (
         by_part.groupBy("partition_id")
         .agg(
             F.min("lsn").alias("lsn_min"),
@@ -45,10 +45,24 @@ def batch_lineage(
             F.col("rows_updated").cast("long"),
             F.col("rows_deleted").cast("long"),
             F.col("conflict_count").cast("long"),
-            F.lit(n_bad).cast("long").alias("rows_quarantined"),
+            # per-partition rows carry 0; the batch total lives on the
+            # partition_id=-1 summary row so sum() over rows is correct
+            F.lit(0).cast("long").alias("rows_quarantined"),
             F.current_timestamp().alias("commit_ts"),
         )
     )
+    # Batch-level summary row (partition_id = -1): carries the
+    # quarantine count and guarantees a ledger entry even for a batch
+    # whose every row was quarantined (routed empty -> no per-partition
+    # rows -> without this the replay guard would re-append bad rows).
+    spark = routed.sparkSession
+    summary = spark.createDataFrame(
+        [(int(batch_id), -1, None, None, 0, 0, 0, 0, 0, int(n_bad))],
+        "batch_id long, partition_id int, lsn_min long, lsn_max long, "
+        "rows_applied long, rows_inserted long, rows_updated long, "
+        "rows_deleted long, conflict_count long, rows_quarantined long",
+    ).withColumn("commit_ts", F.current_timestamp())
+    return per_part.unionByName(summary)
 
 
 def windowed_change_metrics(

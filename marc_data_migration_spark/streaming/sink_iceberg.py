@@ -45,25 +45,38 @@ def create_table_sql(table: str, n_buckets: int = 256) -> str:
     )
 
 
-def merge_sql(table: str, source_view: str, payload_cols: list[str]) -> str:
+def merge_sql(
+    table: str,
+    source_view: str,
+    payload_cols: list[str],
+    strategy: str = "replace_and_add",
+) -> str:
     """The MERGE the engine issues per micro-batch after max-LSN dedup.
-    Field-level replace_and_add: non-null source columns overwrite
-    (coalesce), the LSN guard makes replays no-ops, D deletes.
+    Field-level merge: non-null source columns overwrite (coalesce),
+    the LSN guard makes replays no-ops, D deletes. ``replace_only``
+    (M3, record_update.py:878-887) is the same MERGE without the
+    WHEN NOT MATCHED insert clause — update-without-insert.
     (Reference semantics M1-M3, record_update.py:843-887.)"""
+    if strategy not in ("replace_and_add", "replace_only"):
+        raise ValueError(f"unknown strategy: {strategy}")
     on = " AND ".join(f"t.{k} = s.{k}" for k in KEY_COLS)
     sets = ", ".join(f"t.{c} = coalesce(s.{c}, t.{c})" for c in payload_cols)
     ins_cols = ", ".join(KEY_COLS + payload_cols + ["lsn"])
     ins_vals = ", ".join(f"s.{c}" for c in KEY_COLS + payload_cols + ["lsn"])
-    return (
+    sql = (
         f"MERGE INTO {table} t\n"
         f"USING {source_view} s\n"
         f"ON {on}\n"
         f"WHEN MATCHED AND s.op = 'D' AND s.lsn > t.lsn THEN DELETE\n"
         f"WHEN MATCHED AND s.op <> 'D' AND s.lsn > t.lsn AND s.gate_ok THEN\n"
-        f"  UPDATE SET {sets}, t.lsn = s.lsn\n"
-        f"WHEN NOT MATCHED AND s.op <> 'D' THEN\n"
-        f"  INSERT ({ins_cols}) VALUES ({ins_vals})"
+        f"  UPDATE SET {sets}, t.lsn = s.lsn"
     )
+    if strategy == "replace_and_add":
+        sql += (
+            f"\nWHEN NOT MATCHED AND s.op <> 'D' THEN\n"
+            f"  INSERT ({ins_cols}) VALUES ({ins_vals})"
+        )
+    return sql
 
 
 def evolve_sql(table: str, new_cols: dict[str, str]) -> str:
@@ -79,7 +92,8 @@ def prepare_source(
     fuzzy_gate: bool = False,
     fuzzy_threshold: int = 50,
     require_perfect_match: bool = False,
-) -> DataFrame:
+    dedup_method: str = "agg",
+) -> tuple[DataFrame, DataFrame]:
     """Build the MERGE source the SQL in :func:`merge_sql` assumes:
     per-key max-LSN deduped changes with a precomputed ``gate_ok``.
 
@@ -88,16 +102,18 @@ def prepare_source(
     MERGE conditions) — instead the target's ``(key, text)`` slice is
     left-joined here and the Arrow UDF computes the gate up front,
     mirroring record_update.py:352-443's lookup-then-compare order.
+    Returns ``(source, bad)`` — quarantined rows (null key / unknown
+    op) are the caller's to persist, same contract as ParquetMergeSink.
     Runs on plain Spark (unit-testable without an Iceberg runtime)."""
     from ..functions.normalize import normalize_text
     from ..functions.similarity import token_sort_ratio
     from ..operators.dedup import latest_per_key
     from ..operators.merge import split_bad
 
-    good, _bad = split_bad(batch_df)
-    latest = latest_per_key(good)
+    good, bad = split_bad(batch_df)
+    latest = latest_per_key(good, method=dedup_method)
     if not fuzzy_gate:
-        return latest.withColumn("gate_ok", F.lit(True))
+        return latest.withColumn("gate_ok", F.lit(True)), bad
     t = target_keys_text.select(
         *KEY_COLS, F.col("text").alias("_t_text")
     )
@@ -110,9 +126,12 @@ def prepare_source(
         F.when(candidate, normalize_text(F.coalesce(F.col("_t_text"), F.lit("")))),
     )
     ok = ratio == 100 if require_perfect_match else ratio >= fuzzy_threshold
-    return j.withColumn(
-        "gate_ok", F.when(candidate, ok).otherwise(F.lit(True))
-    ).drop("_t_text")
+    return (
+        j.withColumn("gate_ok", F.when(candidate, ok).otherwise(F.lit(True))).drop(
+            "_t_text"
+        ),
+        bad,
+    )
 
 
 class IcebergMergeSink:
@@ -130,10 +149,52 @@ class IcebergMergeSink:
         spark.sql(create_table_sql(table, n_buckets))
 
     def apply_merge(
-        self, batch_df: DataFrame, batch_id: int, payload_cols: list[str], **gate_opts
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        audit: str = "full",
+        strategy: str = "replace_and_add",
+        **gate_opts,
     ) -> None:
+        """run_stream-compatible contract (same kwargs ParquetMergeSink
+        accepts): dedup + gate via prepare_source, MERGE under the
+        chosen strategy, quarantine + lineage appended to sibling
+        tables, batch_id replay-guarded via the lineage ledger."""
+        from ..plans.lineage import batch_lineage
+
+        lineage_tbl = f"{self.table}_lineage"
+        try:
+            hit = (
+                self.spark.table(lineage_tbl)
+                .filter(F.col("batch_id") == batch_id)
+                .take(1)
+            )
+            if hit:
+                return  # checkpoint replay — already applied
+        except Exception:
+            pass  # first batch: ledger table not created yet
         target = self.spark.table(self.table).select(*KEY_COLS, "text")
-        source = prepare_source(batch_df, target, **gate_opts)
+        source, bad = prepare_source(batch_df, target, **gate_opts)
+        payload_cols = [
+            c
+            for c in source.columns
+            if c not in (*KEY_COLS, "op", "lsn", "commit_ts", "gate_ok")
+        ]
         view = f"_changes_batch_{batch_id}"
         source.createOrReplaceTempView(view)
-        self.spark.sql(merge_sql(self.table, view, payload_cols))
+        self.spark.sql(merge_sql(self.table, view, payload_cols, strategy=strategy))
+        if audit == "full" and bad.take(1):
+            bad.withColumn("batch_id", F.lit(batch_id)).write.mode("append").saveAsTable(
+                f"{self.table}_quarantine"
+            )
+        # minimal ledger row (route granularity needs the join outputs
+        # the SQL MERGE keeps engine-side; the parquet sink records the
+        # full per-partition breakdown)
+        batch_lineage(
+            source.select(
+                *KEY_COLS, F.col("op"), F.col("lsn"), F.lit("applied").alias("route"),
+                F.lit(0).alias("conflict"),
+            ),
+            batch_id,
+            n_bad=bad.count(),
+        ).write.mode("append").saveAsTable(lineage_tbl)

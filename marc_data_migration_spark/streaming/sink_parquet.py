@@ -54,6 +54,7 @@ class ParquetMergeSink:
         self.bad_path = os.path.join(path, "bad")
         self.n_buckets = n_buckets
         self._applied_ids: set[int] | None = None  # lazy ledger cache
+        self._recover_compaction()
 
     # -- target state ---------------------------------------------------
     def exists(self) -> bool:
@@ -243,7 +244,11 @@ class ParquetMergeSink:
                 continue
             staging = path + "_compacting"
             (
-                self.spark.read.parquet(path)
+                # mergeSchema: the table may mix files written before a
+                # lineage-schema addition — sampling one old footer
+                # would otherwise silently drop the newer columns
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(path)
                 .coalesce(target_files)
                 .write.mode("overwrite")
                 .parquet(staging)
@@ -254,3 +259,15 @@ class ParquetMergeSink:
             os.replace(staging, path)
             shutil.rmtree(trash, ignore_errors=True)
         return before
+
+    def _recover_compaction(self) -> None:
+        """Crash recovery for compact_audit's two-step swap: a kill
+        between `path -> path_old` and `staging -> path` leaves the
+        table (possibly the exactly-once ledger) missing; restore the
+        original and discard the incomplete staging dir."""
+        for path in (self.lineage_path, self.routed_path, self.bad_path):
+            trash, staging = path + "_old", path + "_compacting"
+            if not os.path.isdir(path) and os.path.isdir(trash):
+                os.replace(trash, path)
+            shutil.rmtree(staging, ignore_errors=True)
+            shutil.rmtree(trash, ignore_errors=True)

@@ -183,8 +183,7 @@ def sessionize_batch_salted(
     sec = F.col(ts_col).cast("timestamp").cast("long")
     sharded = changes.withColumn("_shard", F.floor(sec / shard_seconds))
     w = Window.partitionBy("conv_id", "_shard").orderBy(ts_col)
-    s = F.col(ts_col).cast("timestamp").cast("long")
-    new_session = s - F.lag(s).over(w) > gap_seconds
+    new_session = sec - F.lag(sec).over(w) > gap_seconds
     sess = F.sum(F.when(new_session, 1).otherwise(0)).over(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )

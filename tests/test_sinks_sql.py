@@ -77,12 +77,20 @@ def test_prepare_source_gate(spark):
         ]
     )
     tgt["turn_idx"] = tgt["turn_idx"].astype("int32")
-    out = prepare_source(
+    src, bad = prepare_source(
         spark.createDataFrame(ch), spark.createDataFrame(tgt), fuzzy_gate=True
-    ).toPandas().set_index(["conv_id", "turn_idx"])
+    )
+    assert bad.count() == 0
+    out = src.toPandas().set_index(["conv_id", "turn_idx"])
     assert len(out) == 4  # stale lsn=0 deduped away
     assert bool(out.loc[("c1", 0)].gate_ok) is True
     assert bool(out.loc[("c1", 1)].gate_ok) is False  # disjoint text
     assert bool(out.loc[("c9", 0)].gate_ok) is True  # insert
     assert bool(out.loc[("c1", 2)].gate_ok) is True  # delete
     assert out.loc[("c1", 1)].lsn == 2  # max-LSN survivor
+
+
+def test_merge_sql_replace_only_omits_insert():
+    sql = merge_sql("t", "s", ["text"], strategy="replace_only")
+    assert "WHEN NOT MATCHED" not in sql  # M3: update-without-insert
+    assert "UPDATE SET" in sql
