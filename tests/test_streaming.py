@@ -263,3 +263,36 @@ def test_parse_wal_json_roundtrip(spark):
         "U", 7, "conv-9", 3, "assistant", "hello", "search", "m1"
     )
     assert str(r.commit_ts) == "2026-02-01 00:00:05"
+
+
+def test_stream_salted_with_policy_transform(spark, tmp_path):
+    """The salted-repartition path and the policy-transform hook
+    (reference UpdatePolicy.execute, record_update.py:475-477) compose:
+    a skewed feed streamed with salt_buckets and a change-side column
+    transform must equal the oracle replay of the transformed feed."""
+    from pyspark.sql import functions as F
+
+    base_pd, ch_pd, sink = _setup(spark, tmp_path, variant="skew", n_events=300, seed=37)
+    chunks = _chunks(ch_pd, 3)
+    feed = str(tmp_path / "feed")
+    stage_feed_chunks(chunks, feed)
+
+    def transform(df):
+        return df.withColumn("tool", F.upper("tool"))
+
+    run_stream(
+        spark,
+        feed,
+        sink,
+        str(tmp_path / "ckpt"),
+        salt_buckets=4,
+        transform=transform,
+    )
+    ch2 = ch_pd.copy()
+    ch2["tool"] = ch2["tool"].str.upper()  # NaN-safe
+    want = oracle.replay(base_pd, ch2)
+    got = sink.read().orderBy(*KEY_COLS).toPandas()
+    assert list(zip(got.conv_id, got.turn_idx, got.text.fillna("<N>"), got.lsn)) == list(
+        zip(want.conv_id, want.turn_idx, want.text.fillna("<N>"), want.lsn)
+    )
+    assert got.tool.fillna("<N>").tolist() == want.tool.fillna("<N>").tolist()
