@@ -243,3 +243,40 @@ def test_salted_sessionize_equals_plain(spark):
 
     assert norm(salted) == norm(plain)
     assert len(plain) > 20  # non-trivial workload
+
+
+def test_sessionize_matches_builtin_session_window(spark):
+    """Independent cross-check: on whole-second timestamps (where our
+    floor-seconds gap rule and the built-in's raw comparison agree),
+    sessionize_batch must equal Spark's own F.session_window — same
+    starts, ends (built-in end = last_event + gap), counts."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    feed_pdf = _feed()[lambda d: d.conv_id != "heartbeat"]
+    df = spark.createDataFrame(feed_pdf)
+    ours = sessionize_batch(df, GAP).toPandas()
+    builtin = (
+        df.groupBy("conv_id", F.session_window("commit_ts", f"{GAP} seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("commit_ts").alias("session_end"))
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            "session_end",
+            "n_events",
+        )
+        .toPandas()
+    )
+
+    def norm(p):
+        return sorted(
+            zip(
+                p.conv_id,
+                p.session_start.astype("datetime64[us]"),
+                p.session_end.astype("datetime64[us]"),
+                p.n_events.astype(int),
+            )
+        )
+
+    assert norm(ours) == norm(builtin)
+    assert len(ours) == 12
