@@ -1646,3 +1646,42 @@ def q_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_per_key(ch, method="salted_window").select(
         "conv_id", "turn_idx", "op", "lsn", "text", _us("commit_ts")
     )
+
+
+# -- as-of join (operators/asof.py — CDC enrichment: the dimension
+#    version in effect at each event's timestamp; DuckDB's native
+#    ASOF JOIN is the oracle). Dimension = signup events per user ------
+
+
+@query(
+    "asof_plan_lookup",
+    """
+WITH dim AS (
+  SELECT user_id, ts, props AS plan
+  FROM events WHERE event_type = 'signup'
+)
+SELECT e.event_id,
+       e.user_id,
+       epoch_us(e.ts) AS ts_us,
+       epoch_us(d.ts) AS r_ts_us,
+       d.plan AS r_plan
+FROM events e
+ASOF LEFT JOIN dim d ON e.user_id = d.user_id AND e.ts >= d.ts
+""",
+)
+def q_asof_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.select("event_id", "user_id", "ts")
+    dim = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("props").alias("plan")
+    )
+    out = asof_join(left, dim, key_cols=["user_id"], ts_col="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        _us("ts"),
+        F.unix_micros(F.col("r_ts").cast("timestamp")).alias("r_ts_us"),
+        "r_plan",
+    )
