@@ -1685,3 +1685,74 @@ def q_asof_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("r_ts").cast("timestamp")).alias("r_ts_us"),
         "r_plan",
     )
+
+
+# -- range (interval) join: events into their containing session
+#    interval — equi-join on conv_id with a BETWEEN residual (Catalyst
+#    plans the equi part as the join key; the per-conversation range
+#    filter is a residual predicate, never a cross join). Self-check
+#    built in: the per-session joined count must equal the session's
+#    own n_events ------------------------------------------------------
+
+
+@query(
+    "range_join_session_events",
+    CDC_CTES
+    + """
+, seq AS (
+  SELECT conv_id, commit_ts,
+         CASE WHEN epoch_us(commit_ts) // 1000000
+                 - lag(epoch_us(commit_ts) // 1000000)
+                   OVER (PARTITION BY conv_id ORDER BY commit_ts) > 3600
+              THEN 1 ELSE 0 END AS new_s
+  FROM changes
+), tagged AS (
+  SELECT conv_id, commit_ts,
+         sum(new_s) OVER (PARTITION BY conv_id ORDER BY commit_ts
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM seq
+), sess AS (
+  SELECT conv_id,
+         min(commit_ts) AS session_start,
+         max(commit_ts) AS session_end,
+         count(*) AS n_events
+  FROM tagged GROUP BY conv_id, sess
+)
+SELECT s.conv_id,
+       epoch_us(s.session_start) AS session_start_us,
+       s.n_events,
+       count(*) AS n_joined
+FROM changes c JOIN sess s
+  ON c.conv_id = s.conv_id
+ AND c.commit_ts BETWEEN s.session_start AND s.session_end
+GROUP BY s.conv_id, s.session_start, s.n_events
+""",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import sessionize_batch
+
+    ch = changes_from_events(_events(spark, sf_dir)).select("conv_id", "commit_ts")
+    # sessions derive from ch — rename to break the self-join lineage
+    sess = sessionize_batch(ch, gap_seconds=3600).select(
+        F.col("conv_id").alias("s_conv_id"),
+        F.col("session_start"),
+        F.col("session_end"),
+        F.col("n_events"),
+    )
+    j = ch.join(
+        sess,
+        (F.col("conv_id") == F.col("s_conv_id"))
+        & F.col("commit_ts").between(F.col("session_start"), F.col("session_end")),
+    )
+    return (
+        j.groupBy("s_conv_id", "session_start", "n_events")
+        .agg(F.count(F.lit(1)).alias("n_joined"))
+        .select(
+            F.col("s_conv_id").alias("conv_id"),
+            F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+                "session_start_us"
+            ),
+            "n_events",
+            "n_joined",
+        )
+    )
