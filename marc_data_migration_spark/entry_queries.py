@@ -1756,3 +1756,57 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_joined",
         )
     )
+
+
+# -- ROLLUP aggregation (OLAP-surface completeness: the reference has
+#    no grouping sets — SURVEY §2.4 — but the engine exposes Catalyst's
+#    built-in rollup; null group levels surfaced as '<all>') ------------
+
+
+@query(
+    "rollup_route_metrics",
+    CDC_CTES
+    + """
+SELECT coalesce(op, '<all>') AS op,
+       coalesce(role, '<all>') AS role,
+       count(*) AS n,
+       max(lsn) AS max_lsn
+FROM changes
+GROUP BY ROLLUP (op, role)
+""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_from_events(_events(spark, sf_dir))
+    return (
+        ch.rollup("op", "role")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("lsn").alias("max_lsn"))
+        .select(
+            F.coalesce("op", F.lit("<all>")).alias("op"),
+            F.coalesce("role", F.lit("<all>")).alias("role"),
+            "n",
+            "max_lsn",
+        )
+    )
+
+
+# -- exact interpolated percentiles (Spark `percentile` == DuckDB
+#    `quantile_cont`, verified to 4dp) ----------------------------------
+
+
+@query(
+    "value_percentiles",
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+""",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
