@@ -296,3 +296,22 @@ def test_stream_salted_with_policy_transform(spark, tmp_path):
         zip(want.conv_id, want.turn_idx, want.text.fillna("<N>"), want.lsn)
     )
     assert got.tool.fillna("<N>").tolist() == want.tool.fillna("<N>").tolist()
+
+
+def test_out_of_order_wal_segments(spark, tmp_path):
+    """A late WAL segment (lower LSNs arriving after higher ones) must
+    converge to the same final state: stale changes route as no-ops
+    under the LSN guard. Upsert-variant payloads are fully populated,
+    so per-batch compaction order cannot affect the surviving values."""
+    base_pd, ch_pd, sink = _setup(spark, tmp_path, variant="upsert", n_events=300, seed=41)
+    chunks = _chunks(ch_pd, 3)
+    feed = str(tmp_path / "feed")
+    # stage in scrambled order: the high-LSN tail lands first
+    stage_feed_chunks([chunks[2], chunks[0], chunks[1]], feed)
+    run_stream(spark, feed, sink, str(tmp_path / "ckpt"))
+    want = oracle.replay(base_pd, ch_pd)
+    got = _final_text(sink.read())
+    assert got == list(zip(want.conv_id, want.turn_idx, want.text.fillna("<N>"), want.lsn))
+    # the out-of-order batches produced stale routes, not lost data
+    routes = {r.route for r in sink.routed().select("route").distinct().collect()}
+    assert "stale" in routes
