@@ -1810,3 +1810,41 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
     )
+
+
+# -- set operations (EXCEPT / INTERSECT — completes the relational
+#    surface; the reference's only set op is the jaccard intersection,
+#    SURVEY §2.4): base keys never touched by the change feed, and the
+#    touched overlap --------------------------------------------------
+
+
+@query(
+    "keys_new_in_feed",
+    CDC_CTES
+    + """
+SELECT conv_id, turn_idx FROM changes
+EXCEPT
+SELECT conv_id, turn_idx FROM base
+""",
+)
+def q_keys_new_in_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    base = base_from_events(ev).select("conv_id", "turn_idx")
+    ch = changes_from_events(ev).select("conv_id", "turn_idx")
+    return ch.subtract(base)  # EXCEPT DISTINCT semantics, matches SQL
+
+
+@query(
+    "keys_touched_overlap",
+    CDC_CTES
+    + """
+SELECT conv_id, turn_idx FROM base
+INTERSECT
+SELECT conv_id, turn_idx FROM changes
+""",
+)
+def q_keys_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    base = base_from_events(ev).select("conv_id", "turn_idx")
+    ch = changes_from_events(ev).select("conv_id", "turn_idx")
+    return base.intersect(ch)
