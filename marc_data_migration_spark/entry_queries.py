@@ -1848,3 +1848,18 @@ def q_keys_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base_from_events(ev).select("conv_id", "turn_idx")
     ch = changes_from_events(ev).select("conv_id", "turn_idx")
     return base.intersect(ch)
+
+
+# -- HLL sketch: approximate distinct conversations per op (the brief's
+#    sketch family). Approximate results can't value-hash against an
+#    exact engine, so this is a rows-only driver check; the accuracy
+#    bound (relative error < 5% vs exact at rsd=0.02) is pinned by
+#    tests/test_functions.py::test_hll_accuracy ------------------------
+
+
+@query("approx_distinct_convs")
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_from_events(_events(spark, sf_dir))
+    return ch.groupBy("op").agg(
+        F.approx_count_distinct("conv_id", rsd=0.02).alias("approx_convs")
+    )

@@ -126,3 +126,27 @@ def test_multitable_lsh_recall_floor(spark):
         for r in lsh_multitable_ann_topk(emb, q, k=3, bits=4, n_tables=8).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.7
+
+
+def test_hll_accuracy(spark):
+    """approx_count_distinct at rsd=0.02 stays within 5% of the exact
+    distinct count on the change feed — the sketch's usefulness bound."""
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.entry_queries import (
+        _events,
+        changes_from_events,
+    )
+
+    ch = changes_from_events(_events(spark, "/root/testdata/sf0.01"))
+    rows = (
+        ch.groupBy("op")
+        .agg(
+            F.countDistinct("conv_id").alias("exact"),
+            F.approx_count_distinct("conv_id", rsd=0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx - r.exact) / r.exact < 0.05, (r.op, r.exact, r.approx)
