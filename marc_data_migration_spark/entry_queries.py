@@ -1254,15 +1254,9 @@ def q_tag_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- Stateful sessionization, batch form (streaming/stateful.py — the
-#    applyInPandasWithState operator's window-composition analogue;
-#    property-tested equal in tests/test_stateful.py) -------------------
-
-
-@query(
-    "conv_sessions",
-    CDC_CTES
-    + """
+# gap-sessionization CTEs shared by the conv_sessions and range-join
+# oracles (3600s gap, floor-seconds rule — must match sessionize_batch)
+_SESSION_CTES = """
 , seq AS (
   SELECT conv_id, commit_ts,
          CASE WHEN epoch_us(commit_ts) // 1000000
@@ -1275,7 +1269,19 @@ def q_tag_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
          sum(new_s) OVER (PARTITION BY conv_id ORDER BY commit_ts
                           ROWS UNBOUNDED PRECEDING) AS sess
   FROM seq
-)
+)"""
+
+
+# -- Stateful sessionization, batch form (streaming/stateful.py — the
+#    applyInPandasWithState operator's window-composition analogue;
+#    property-tested equal in tests/test_stateful.py) -------------------
+
+
+@query(
+    "conv_sessions",
+    CDC_CTES
+    + _SESSION_CTES
+    + """
 SELECT conv_id,
        epoch_us(min(commit_ts)) AS session_start_us,
        epoch_us(max(commit_ts)) AS session_end_us,
@@ -1657,8 +1663,10 @@ def q_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asof_plan_lookup",
     """
 WITH dim AS (
-  SELECT user_id, ts, props AS plan
-  FROM events WHERE event_type = 'signup'
+  -- tie-free by construction (asof.py precondition): one version per
+  -- (user_id, ts), latest event_id wins
+  SELECT user_id, ts, arg_max(props, event_id) AS plan
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
 )
 SELECT e.event_id,
        e.user_id,
@@ -1674,9 +1682,13 @@ def q_asof_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     left = ev.select("event_id", "user_id", "ts")
-    dim = ev.filter(F.col("event_type") == "signup").select(
-        "user_id", "ts", F.col("props").alias("plan")
-    )
+    dim = latest_per_key(
+        ev.filter(F.col("event_type") == "signup").select(
+            "user_id", "ts", "event_id", F.col("props").alias("plan")
+        ),
+        key_cols=["user_id", "ts"],
+        order_col="event_id",
+    ).drop("event_id")
     out = asof_join(left, dim, key_cols=["user_id"], ts_col="ts")
     return out.select(
         "event_id",
@@ -1698,20 +1710,9 @@ def q_asof_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "range_join_session_events",
     CDC_CTES
+    + _SESSION_CTES
     + """
-, seq AS (
-  SELECT conv_id, commit_ts,
-         CASE WHEN epoch_us(commit_ts) // 1000000
-                 - lag(epoch_us(commit_ts) // 1000000)
-                   OVER (PARTITION BY conv_id ORDER BY commit_ts) > 3600
-              THEN 1 ELSE 0 END AS new_s
-  FROM changes
-), tagged AS (
-  SELECT conv_id, commit_ts,
-         sum(new_s) OVER (PARTITION BY conv_id ORDER BY commit_ts
-                          ROWS UNBOUNDED PRECEDING) AS sess
-  FROM seq
-), sess AS (
+, sess AS (
   SELECT conv_id,
          min(commit_ts) AS session_start,
          max(commit_ts) AS session_end,

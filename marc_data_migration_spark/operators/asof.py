@@ -45,7 +45,18 @@ def asof_join(
     for the same key (null payload when no such row exists). Right
     payload columns come back prefixed with ``right_prefix``; the
     matched right timestamp is ``{right_prefix}{ts_col}``."""
+    internals = {"_tag", "_l", "_r", "_match"}
+    clash = internals & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"input columns collide with asof_join internals: {sorted(clash)}")
     r_payload = [c for c in right.columns if c not in key_cols and c != ts_col]
+    out_names = {f"{right_prefix}{ts_col}", *(f"{right_prefix}{c}" for c in r_payload)}
+    shadow = out_names & set(left.columns)
+    if shadow:
+        raise ValueError(
+            f"left columns {sorted(shadow)} collide with prefixed right outputs; "
+            "choose a different right_prefix"
+        )
     r_struct = F.struct(F.col(ts_col).alias(ts_col), *[F.col(c) for c in r_payload])
 
     l_tagged = left.select(

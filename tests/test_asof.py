@@ -46,3 +46,15 @@ def test_asof_join_semantics(spark):
     assert out["after-last"][0] == "v2"
     assert out["other-key"][0] == "bv"  # keys isolated
     assert out["after-last"][1] == _ts(30).to_pydatetime().replace(tzinfo=None)
+
+
+def test_range_join_invariant(spark):
+    """The range-join's self-consistency claim, asserted: every event
+    joins into exactly its containing session, so per-session joined
+    counts equal the session's own n_events (a shared systematic error
+    in both engines would hash-match — this pins the invariant itself)."""
+    from marc_data_migration_spark.entry_queries import QUERIES
+
+    pdf = QUERIES["range_join_session_events"](spark, "/root/testdata/sf0.001").toPandas()
+    assert len(pdf) > 0
+    assert (pdf.n_joined == pdf.n_events).all()

@@ -246,10 +246,12 @@ def test_salted_sessionize_equals_plain(spark):
 
 
 def test_sessionize_matches_builtin_session_window(spark):
-    """Independent cross-check: on whole-second timestamps (where our
-    floor-seconds gap rule and the built-in's raw comparison agree),
-    sessionize_batch must equal Spark's own F.session_window — same
-    starts, ends (built-in end = last_event + gap), counts."""
+    """Independent cross-check: sessionize_batch must equal Spark's own
+    F.session_window on this fixture. Caveat for extenders: the two
+    disagree at a gap of EXACTLY gap_seconds (our rule keeps the pair
+    together, the end-exclusive built-in splits), so _feed()'s deltas
+    deliberately avoid the boundary (10..GAP-11 within, >=GAP+60
+    between)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
