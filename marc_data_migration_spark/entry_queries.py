@@ -440,7 +440,7 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "online_classifier_counts",
     """
-SELECT CASE WHEN event_type IN ('click', 'view') THEN TRUE ELSE FALSE END AS is_online,
+SELECT CAST(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END AS INT) AS is_online,
        count(*) AS n,
        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
        sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
@@ -450,7 +450,9 @@ FROM events GROUP BY 1
 def q_online(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
-        ev.groupBy(F.col("event_type").isin("click", "view").alias("is_online"))
+        ev.groupBy(
+            F.col("event_type").isin("click", "view").cast("int").alias("is_online")
+        )
         .agg(
             F.count("*").alias("n"),
             F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
@@ -1473,9 +1475,9 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 SELECT epoch_us(date_trunc('minute', commit_ts)) AS window_start_us,
        count(*) AS n_changes,
-       sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS n_inserts,
-       sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS n_updates,
-       sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes,
+       CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+       CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
        min(lsn) AS lsn_min,
        max(lsn) AS lsn_max
 FROM changes

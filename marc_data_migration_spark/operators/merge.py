@@ -49,11 +49,17 @@ class MergeResult:
 
 def split_bad(changes: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Quarantine malformed changes (null key / unknown op) — the
-    reference's bad-record side channel (record_update.py:243-252)."""
+    reference's bad-record side channel (record_update.py:243-252).
+
+    ``op IS NULL`` must be an explicit disjunct: ``~isin(...)`` is NULL
+    (not True) for a null op, and a NULL predicate fails BOTH ``filter(p)``
+    and ``filter(~p)`` — without it, null-op rows would silently vanish
+    from good AND bad instead of being quarantined."""
     is_bad = (
         F.col("conv_id").isNull()
         | F.col("turn_idx").isNull()
         | F.col("lsn").isNull()
+        | F.col("op").isNull()
         | ~F.col("op").isin("I", "U", "D")
     )
     return changes.filter(~is_bad), changes.filter(is_bad)

@@ -57,6 +57,10 @@ CHANGES_SCHEMA_V2 = T.StructType(
 # lineage_metrics — per-batch/partition audit table (FIXTURES.md §4);
 # the analogue of the reference's audit/counter side outputs
 # (record_update.py:26-34, :262-286; field_replacement_count.py).
+# Convention: one row per key-hash partition plus a batch-summary row
+# with partition_id = -1 carrying the quarantine total (per-partition
+# rows hold rows_quarantined = 0 so SUM() over the table is correct) —
+# see plans/lineage.py batch_lineage.
 LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("batch_id", T.LongType(), False),
@@ -68,6 +72,7 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("rows_updated", T.LongType(), True),
         T.StructField("rows_deleted", T.LongType(), True),
         T.StructField("conflict_count", T.LongType(), True),
+        T.StructField("rows_quarantined", T.LongType(), True),
         T.StructField("commit_ts", T.TimestampType(), True),
     ]
 )

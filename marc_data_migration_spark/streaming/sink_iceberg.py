@@ -114,11 +114,16 @@ def prepare_source(
     latest = latest_per_key(good, method=dedup_method)
     if not fuzzy_gate:
         return latest.withColumn("gate_ok", F.lit(True)), bad
+    # _t_hit marks a join hit independently of the target text value:
+    # a matched row with NULL target text must still be gated (compared
+    # against ''), matching operators/merge.py's coalesce semantics —
+    # keying the candidate off _t_text.isNotNull() would silently wave
+    # those rows through the gate that the parquet sink rejects.
     t = target_keys_text.select(
-        *KEY_COLS, F.col("text").alias("_t_text")
+        *KEY_COLS, F.col("text").alias("_t_text"), F.lit(True).alias("_t_hit")
     )
     j = latest.join(t, KEY_COLS, "left_outer")
-    candidate = F.col("_t_text").isNotNull() & (F.col("op") != "D")
+    candidate = F.col("_t_hit").isNotNull() & (F.col("op") != "D")
     # input-gated UDF: see operators/merge.py — a `when` around the UDF
     # call alone would still evaluate it on every row
     ratio = token_sort_ratio(
@@ -128,7 +133,7 @@ def prepare_source(
     ok = ratio == 100 if require_perfect_match else ratio >= fuzzy_threshold
     return (
         j.withColumn("gate_ok", F.when(candidate, ok).otherwise(F.lit(True))).drop(
-            "_t_text"
+            "_t_text", "_t_hit"
         ),
         bad,
     )

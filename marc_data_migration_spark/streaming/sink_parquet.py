@@ -55,6 +55,7 @@ class ParquetMergeSink:
         self.n_buckets = n_buckets
         self._applied_ids: set[int] | None = None  # lazy ledger cache
         self._recover_compaction()
+        self._recover_staging()
 
     # -- target state ---------------------------------------------------
     def exists(self) -> bool:
@@ -172,14 +173,24 @@ class ParquetMergeSink:
             .partitionBy(BUCKET_COL)
             .parquet(staging)
         )
+        # Crash-safe swap: the old bucket is moved aside (atomic rename)
+        # rather than rmtree'd, so no crash window can lose a bucket's
+        # base rows. Recovery in _recover_staging restores any bucket
+        # still in trash with no replacement in place; the trash is
+        # deleted BEFORE the ledger write, so a post-ledger restart can
+        # never resurrect pre-merge data.
+        os.makedirs(self.data_path, exist_ok=True)
+        trash_dir = os.path.join(self.path, f"_trash_batch_{batch_id}")
+        os.makedirs(trash_dir, exist_ok=True)
         for b in touched:
             dst = os.path.join(self.data_path, f"{BUCKET_COL}={b}")
             src = os.path.join(staging, f"{BUCKET_COL}={b}")
-            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(dst):
+                os.replace(dst, os.path.join(trash_dir, f"{BUCKET_COL}={b}"))
             if os.path.isdir(src):  # absent = bucket is now empty
                 os.replace(src, dst)
         shutil.rmtree(staging, ignore_errors=True)
-        os.makedirs(self.data_path, exist_ok=True)
+        shutil.rmtree(trash_dir, ignore_errors=True)
         # Audit/ledger appends coalesce to few files: they project from
         # the join cache the staging write just materialized (so the
         # coalesce never collapses the merge compute itself), and a
@@ -271,3 +282,26 @@ class ParquetMergeSink:
                 os.replace(trash, path)
             shutil.rmtree(staging, ignore_errors=True)
             shutil.rmtree(trash, ignore_errors=True)
+
+    def _recover_staging(self) -> None:
+        """Crash recovery for apply_merge's bucket swap. A kill mid-swap
+        leaves some buckets moved aside into ``_trash_batch_*`` with (a)
+        their replacement already in place — keep it, the un-ledgered
+        replay converges via the LSN guard — or (b) no replacement —
+        restore the original so the replay sees the pre-merge base
+        (otherwise its non-batch rows would be permanently lost).
+        Incomplete ``_staging_batch_*`` writes are discarded; the replay
+        rewrites them."""
+        for name in os.listdir(self.path) if os.path.isdir(self.path) else []:
+            full = os.path.join(self.path, name)
+            if name.startswith("_trash_batch_") and os.path.isdir(full):
+                os.makedirs(self.data_path, exist_ok=True)
+                for entry in os.listdir(full):
+                    if not entry.startswith(f"{BUCKET_COL}="):
+                        continue
+                    dst = os.path.join(self.data_path, entry)
+                    if not os.path.isdir(dst):
+                        os.replace(os.path.join(full, entry), dst)
+                shutil.rmtree(full, ignore_errors=True)
+            elif name.startswith("_staging_batch_") and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)

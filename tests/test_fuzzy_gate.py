@@ -77,11 +77,32 @@ def test_bad_records_quarantined(spark):
         [
             {"op": "X", "lsn": 10, "commit_ts": pd.Timestamp("2026-01-02"), "conv_id": "c1", "turn_idx": 0, "role": None, "text": None, "tool": None, "ts": None},
             {"op": "U", "lsn": 11, "commit_ts": pd.Timestamp("2026-01-02"), "conv_id": None, "turn_idx": 0, "role": None, "text": "x", "tool": None, "ts": None},
+            # null op: ~isin(...) is NULL, not True — without the explicit
+            # isNull disjunct this row vanished from good AND bad
+            {"op": None, "lsn": 12, "commit_ts": pd.Timestamp("2026-01-02"), "conv_id": "c2", "turn_idx": 0, "role": None, "text": "y", "tool": None, "ts": None},
         ]
     )
     res = apply_changes(spark.createDataFrame(BASE), spark.createDataFrame(bad))
-    assert res.bad.count() == 2
+    assert res.bad.count() == 3
     assert res.final.count() == len(BASE)  # untouched
+
+
+def test_split_bad_partitions_completely(spark):
+    """good ∪ bad must equal the input — no row may fall through both
+    filters (the null-predicate trap)."""
+    from marc_data_migration_spark.operators.merge import split_bad
+
+    rows = pd.DataFrame(
+        [
+            {"op": "U", "lsn": 1, "commit_ts": pd.Timestamp("2026-01-02"), "conv_id": "c1", "turn_idx": 0, "role": "u", "text": "a", "tool": None, "ts": None},
+            {"op": None, "lsn": 2, "commit_ts": pd.Timestamp("2026-01-02"), "conv_id": "c1", "turn_idx": 1, "role": "u", "text": "b", "tool": None, "ts": None},
+            {"op": "Z", "lsn": 3, "commit_ts": pd.Timestamp("2026-01-02"), "conv_id": "c1", "turn_idx": 2, "role": "u", "text": "c", "tool": None, "ts": None},
+            {"op": "I", "lsn": None, "commit_ts": pd.Timestamp("2026-01-02"), "conv_id": "c1", "turn_idx": 3, "role": "u", "text": "d", "tool": None, "ts": None},
+        ]
+    )
+    good, bad = split_bad(spark.createDataFrame(rows))
+    assert good.count() + bad.count() == len(rows)
+    assert good.count() == 1 and bad.count() == 3
 
 
 def test_quarantine_count_in_lineage(spark, tmp_path):

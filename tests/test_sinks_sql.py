@@ -90,6 +90,29 @@ def test_prepare_source_gate(spark):
     assert out.loc[("c1", 1)].lsn == 2  # max-LSN survivor
 
 
+def test_prepare_source_gate_null_target_text(spark):
+    """A matched target row with NULL text must still be gated — compared
+    against '' exactly like operators/merge.py apply_changes — so the two
+    'same semantics' sinks agree: a dissimilar update against a null-text
+    row is a conflict in both, not silently applied by the Iceberg path."""
+    import datetime as dt
+
+    from marc_data_migration_spark.streaming.sink_iceberg import prepare_source
+
+    EP = dt.datetime(2026, 1, 1)
+    ch = spark.createDataFrame(
+        [("U", 1, EP, "c1", 0, "user", "completely new text", "t", EP)],
+        "op string, lsn long, commit_ts timestamp, conv_id string, "
+        "turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    tgt = spark.createDataFrame(
+        [("c1", 0, None)], "conv_id string, turn_idx int, text string"
+    )
+    src, _ = prepare_source(ch, tgt, fuzzy_gate=True)
+    row = src.collect()[0]
+    assert row.gate_ok is False  # ratio('completely new text','') = 0 < 50
+
+
 def test_merge_sql_replace_only_omits_insert():
     sql = merge_sql("t", "s", ["text"], strategy="replace_only")
     assert "WHEN NOT MATCHED" not in sql  # M3: update-without-insert

@@ -76,6 +76,51 @@ def test_replayed_batch_is_noop(spark, tmp_path):
     assert _final_text(sink.read()) == state1
 
 
+def test_staging_crash_recovery(spark, tmp_path):
+    """A crash mid-bucket-swap must never lose a bucket's base rows.
+    Simulate the worst window of the old code path: a bucket's current
+    directory is gone (moved aside into _trash_batch_*), its staging
+    replacement never landed, and the staging dir is still on disk.
+    Re-opening the sink (= process restart) must restore the bucket and
+    discard the partial staging write; since the batch never reached the
+    ledger, the stream replays it and converges."""
+    import os
+    import shutil
+
+    base_pd, ch_pd, sink = _setup(spark, tmp_path, n_events=200, seed=13)
+    before = _final_text(sink.read())
+    path = sink.path
+
+    # simulate: batch 7 crashed after moving one bucket aside, before swap
+    bname = sorted(
+        n for n in os.listdir(sink.data_path) if n.startswith("bucket=")
+    )[0]
+    trash = os.path.join(path, "_trash_batch_7")
+    os.makedirs(trash)
+    os.replace(os.path.join(sink.data_path, bname), os.path.join(trash, bname))
+    staging = os.path.join(path, "_staging_batch_7")
+    os.makedirs(os.path.join(staging, bname))
+
+    reopened = ParquetMergeSink(spark, path, n_buckets=8)
+    assert not os.path.exists(trash)
+    assert not os.path.exists(staging)
+    assert _final_text(reopened.read()) == before  # bucket restored intact
+
+    # the other crash window: replacement landed, old copy still in trash
+    # — recovery must keep the NEW data (replay converges via LSN guard)
+    res = reopened.apply_merge(spark.createDataFrame(ch_pd), batch_id=0)
+    assert res is not None
+    after = _final_text(reopened.read())
+    trash2 = os.path.join(path, "_trash_batch_8")
+    os.makedirs(trash2)
+    shutil.copytree(
+        os.path.join(reopened.data_path, bname), os.path.join(trash2, bname)
+    )
+    reopened2 = ParquetMergeSink(spark, path, n_buckets=8)
+    assert not os.path.exists(trash2)
+    assert _final_text(reopened2.read()) == after  # new data kept
+
+
 def test_delete_empties_bucket(spark, tmp_path):
     """All rows of a bucket deleted → bucket directory dropped."""
     import pandas as pd
