@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 from .functions.normalize import (
     extract_key_001,
     extract_key_035,
+    fuzzy_001_flag,
+    key_source,
     key_with_precedence,
     normalize_text,
 )
@@ -304,7 +306,11 @@ extracted AS (
     FROM raw
   )
 )
-SELECT event_id, coalesce(key_035, key_001) AS key
+SELECT event_id, coalesce(key_035, key_001) AS key,
+  CASE WHEN key_035 IS NOT NULL THEN '035'
+       WHEN key_001 IS NOT NULL THEN '001' END AS key_source,
+  CAST(CASE WHEN key_035 IS NULL AND key_001 IS NOT NULL THEN 1 ELSE 0 END AS INT)
+    AS fuzzy_001_test
 FROM extracted WHERE coalesce(key_035, key_001) IS NOT NULL
 """,
 )
@@ -319,8 +325,13 @@ def q_key_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("junk"), eid.cast("string")))
     )
     f035 = F.when(eid % 3 == 0, F.concat(F.lit("(OCoLC)ocn"), eid.cast("string")))
-    key = key_with_precedence(extract_key_035(f035), extract_key_001(f001))
-    return ev.select("event_id", key.alias("key")).filter(F.col("key").isNotNull())
+    k035, k001 = extract_key_035(f035), extract_key_001(f001)
+    return ev.select(
+        "event_id",
+        key_with_precedence(k035, k001).alias("key"),
+        key_source(k035, k001).alias("key_source"),
+        fuzzy_001_flag(k035, k001).alias("fuzzy_001_test"),
+    ).filter(F.col("key").isNotNull())
 
 
 # -- F1/F2: normalization ------------------------------------------------
@@ -938,6 +949,78 @@ def q_field_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(4, 'role', role, 'text', text, 'tool', tool, 'ts', ts)"
             " AS (field, n_changed)"
         )
+    )
+
+
+# -- S10 fields-audit log: per-field old→new diff rows for every
+#    applied matched update (record_update.py:626-641 writes
+#    (tag, original, replacement); wired :712,:742). The detail table
+#    field_change_counts aggregates — one explode over the merge join,
+#    no extra shuffle --------------------------------------------------------
+
+
+@query(
+    "field_audit_diffs",
+    CDC_CTES
+    + """
+, upd AS (
+  SELECT c.conv_id, c.turn_idx, c.lsn,
+         c.role AS c_role, t.role AS t_role,
+         c.text AS c_text, t.text AS t_text,
+         c.tool AS c_tool, t.tool AS t_tool,
+         CAST(epoch_us(c.ts) AS VARCHAR) AS c_ts,
+         CAST(epoch_us(t.ts) AS VARCHAR) AS t_ts
+  FROM latest c JOIN base t
+    ON t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx
+  WHERE c.op <> 'D' AND c.lsn > t.lsn
+)
+SELECT conv_id, turn_idx, lsn, field, old_value, new_value FROM (
+  SELECT conv_id, turn_idx, lsn, 'role' AS field, t_role AS old_value, c_role AS new_value FROM upd
+  UNION ALL SELECT conv_id, turn_idx, lsn, 'text', t_text, c_text FROM upd
+  UNION ALL SELECT conv_id, turn_idx, lsn, 'tool', t_tool, c_tool FROM upd
+  UNION ALL SELECT conv_id, turn_idx, lsn, 'ts', t_ts, c_ts FROM upd
+) WHERE new_value IS NOT NULL AND new_value IS DISTINCT FROM old_value
+""",
+)
+def q_field_audit_diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    res = apply_changes(
+        base_from_events(ev), changes_from_events(ev), field_audit=True
+    )
+    return res.field_diffs
+
+
+# -- A1 join-back: duplicate-group member detail (reports.py:39-62 —
+#    the reference re-fetches the member records per duplicate group
+#    and projects their payload fields) --------------------------------------
+
+
+@query(
+    "dup_group_members",
+    CDC_CTES
+    + """
+, dups AS (
+  SELECT conv_id, turn_idx, count(*) AS n_versions
+  FROM changes GROUP BY conv_id, turn_idx HAVING count(*) > 1
+)
+SELECT c.conv_id, c.turn_idx, d.n_versions, c.lsn, c.op, c.role, c.text
+FROM changes c
+JOIN dups d ON c.conv_id = d.conv_id AND c.turn_idx = d.turn_idx
+""",
+)
+def q_dup_group_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = changes_from_events(_events(spark, sf_dir))
+    dups = (
+        ch.groupBy("conv_id", "turn_idx")
+        .agg(F.count("*").alias("n_versions"))
+        .filter(F.col("n_versions") > 1)
+    )
+    # group-key join back to the feed: the dedup groupBy and this join
+    # hash-partition on the same keys, so the Exchange is reused — one
+    # shuffle of the feed total (verified via explain; no broadcast
+    # needed, the dup-key side can be a large fraction of keys)
+    return ch.join(dups, ["conv_id", "turn_idx"]).select(
+        "conv_id", "turn_idx", "n_versions", "lsn", "op", "role", "text"
     )
 
 

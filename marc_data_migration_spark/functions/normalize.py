@@ -66,6 +66,23 @@ def key_with_precedence(col_035: Column, col_001: Column) -> Column:
     return F.coalesce(col_035, col_001)
 
 
+def key_source(col_035: Column, col_001: Column) -> Column:
+    """P3 provenance column: which field supplied the key ('035'|'001',
+    null if neither). The reference tracks this implicitly — the
+    001-only path arms ``do_fuzzy_001_test`` which changes downstream
+    routing (record_update.py:207-218)."""
+    return F.when(col_035.isNotNull(), F.lit("035")).when(
+        col_001.isNotNull(), F.lit("001")
+    )
+
+
+def fuzzy_001_flag(col_035: Column, col_001: Column) -> Column:
+    """P3 flag: 1 when the key came from 001 with no 035 confirmation —
+    the condition that arms the reference's fuzzy-001 title test
+    (record_update.py:207-218). INT for driver hash parity."""
+    return (col_035.isNull() & col_001.isNotNull()).cast("int")
+
+
 def is_oclc_prefix(col: Column | str) -> Column:
     """P7: substring membership test (utils.py:70-76)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -41,6 +41,8 @@ class MergeResult:
     bad: DataFrame  # quarantined malformed changes (reference S8 'bad' sink)
     cached: DataFrame | None = None  # persisted join (persist_join=True);
     # caller unpersists after consuming final/routed
+    field_diffs: DataFrame | None = None  # per-field old→new audit rows
+    # (field_audit=True) — reference fields-audit log, record_update.py:626-641
 
     def unpersist(self) -> None:
         if self.cached is not None:
@@ -74,6 +76,7 @@ def apply_changes(
     fuzzy_threshold: int = 50,
     require_perfect_match: bool = False,
     persist_join: bool = False,
+    field_audit: bool = False,
 ) -> MergeResult:
     """Apply a change batch to the target table state, returning the
     new state plus routing/quarantine side outputs.
@@ -90,7 +93,14 @@ def apply_changes(
     - D deletes the row iff fresh;
     - with ``fuzzy_gate``, matched updates must pass the similarity
       threshold on normalized text or they are rejected as conflicts
-      (reference fuzzy-match-failed path, record_update.py:352-443).
+      (reference fuzzy-match-failed path, record_update.py:352-443);
+    - with ``field_audit``, ``MergeResult.field_diffs`` carries one row
+      per (key, field) an applied matched update actually changed —
+      (conv_id, turn_idx, lsn, field, old_value, new_value) — the
+      analogue of the reference's fields-audit log of (tag, original,
+      replacement) pairs (record_update.py:626-641, wired :712,:742).
+      Values are strings; timestamps surface as epoch-microsecond
+      strings so the audit is engine-portable.
     """
     good, bad = split_bad(changes)
     latest = latest_per_key(good, method=dedup_method)
@@ -175,6 +185,50 @@ def apply_changes(
     if persist_join:
         j = j.persist()
 
+    field_diffs = None
+    if field_audit:
+        c_types = dict(latest.dtypes)
+        t_types = dict(base.dtypes)
+
+        def _ser(col, dtype):
+            # epoch-µs strings for timestamps: engine-portable and
+            # comparable; everything else casts to string directly
+            if dtype.startswith("timestamp"):
+                return F.unix_micros(col.cast("timestamp")).cast("string")
+            return col.cast("string")
+
+        entries = []
+        for col in c_payload:
+            old = (
+                _ser(F.col(f"t_{col}"), t_types.get(col, c_types[col]))
+                if col in t_payload
+                else F.lit(None).cast("string")
+            )
+            entries.append(
+                F.struct(
+                    F.lit(col).alias("field"),
+                    old.alias("old_value"),
+                    _ser(F.col(f"c_{col}"), c_types[col]).alias("new_value"),
+                )
+            )
+        # explode over a literal-width array: one pass over the applied
+        # matched updates, no shuffle — row count ≤ |updates| × n_cols
+        field_diffs = (
+            j.filter(apply_update)  # matched, fresh, gate-passed updates
+            .select(
+                *[F.col(f"c_{k}").alias(k) for k in KEY_COLS],
+                F.col("c_lsn").alias("lsn"),
+                F.explode(F.array(*entries)).alias("d"),
+            )
+            # a null change column preserves the target (M9), so only
+            # non-null, value-differing fields are audited as replaced
+            .filter(
+                F.col("d.new_value").isNotNull()
+                & ~F.col("d.new_value").eqNullSafe(F.col("d.old_value"))
+            )
+            .select(*KEY_COLS, "lsn", "d.field", "d.old_value", "d.new_value")
+        )
+
     merged_cols = []
     for col in all_payload:
         c_col = F.col(f"c_{col}") if col in c_payload else F.lit(None)
@@ -201,5 +255,9 @@ def apply_changes(
         F.col("_ratio").alias("ratio"),
     )
     return MergeResult(
-        final=final, routed=routed, bad=bad, cached=j if persist_join else None
+        final=final,
+        routed=routed,
+        bad=bad,
+        cached=j if persist_join else None,
+        field_diffs=field_diffs,
     )

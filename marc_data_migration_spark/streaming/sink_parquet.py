@@ -52,6 +52,7 @@ class ParquetMergeSink:
         self.lineage_path = os.path.join(path, "lineage")
         self.routed_path = os.path.join(path, "routed")
         self.bad_path = os.path.join(path, "bad")
+        self.field_audit_path = os.path.join(path, "field_audit")
         self.n_buckets = n_buckets
         self._applied_ids: set[int] | None = None  # lazy ledger cache
         self._recover_compaction()
@@ -124,12 +125,14 @@ class ParquetMergeSink:
 
         ``audit`` — "full" (default) also persists the per-change routed
         audit + quarantine tables (reference S10 per-record audit logs);
-        "lineage" writes only the aggregated lineage ledger (always on —
-        it is the exactly-once guard and the north_rule metrics table).
-        The full audit costs ~25% of batch wall time (BENCH/BASELINE.md
-        component profile); at maximum-throughput tailing it is the
-        first thing to shed."""
-        if audit not in ("full", "lineage"):
+        "fields" additionally writes the per-field old→new diff table
+        (reference fields-audit log, record_update.py:626-641) — the
+        most detailed and most expensive mode; "lineage" writes only the
+        aggregated lineage ledger (always on — it is the exactly-once
+        guard and the north_rule metrics table). The full audit costs
+        ~25% of batch wall time (BENCH/BASELINE.md component profile);
+        at maximum-throughput tailing it is the first thing to shed."""
+        if audit not in ("fields", "full", "lineage"):
             raise ValueError(f"unknown audit mode: {audit}")
         if batch_id in self._ledger():
             return None
@@ -150,7 +153,13 @@ class ParquetMergeSink:
         # persist_join: the dedup+join+gate plan is evaluated exactly once
         # (by the staging write below); routed/lineage/bad then project
         # from the cache instead of re-running the merge.
-        res = apply_changes(base, batch_df, persist_join=True, **merge_opts)
+        res = apply_changes(
+            base,
+            batch_df,
+            persist_join=True,
+            field_audit=(audit == "fields"),
+            **merge_opts,
+        )
 
         final = res.final.withColumn(BUCKET_COL, bucket_expr(self.n_buckets))
         routed = res.routed
@@ -204,7 +213,7 @@ class ParquetMergeSink:
             routed, batch_id, n_partitions=self.n_buckets, n_bad=n_bad
         )
         lineage.coalesce(1).write.mode("append").parquet(self.lineage_path)
-        if audit == "full":
+        if audit in ("full", "fields"):
             (
                 routed.coalesce(8)
                 .withColumn("batch_id", F.lit(batch_id))
@@ -213,6 +222,14 @@ class ParquetMergeSink:
             )
             if n_bad:
                 res.bad.coalesce(8).withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(self.bad_path)
+        if audit == "fields" and res.field_diffs is not None:
+            # projects from the persisted join — no merge re-execution
+            (
+                res.field_diffs.coalesce(8)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(self.field_audit_path)
+            )
         batch_df.unpersist()
         res.unpersist()
         self._ledger().add(batch_id)
@@ -231,6 +248,10 @@ class ParquetMergeSink:
     def routed(self) -> DataFrame:
         return self.spark.read.parquet(self.routed_path)
 
+    def field_audit(self) -> DataFrame:
+        """Per-field old→new diff rows (audit='fields' batches only)."""
+        return self.spark.read.parquet(self.field_audit_path)
+
 
     def compact_audit(self, target_files: int = 8) -> dict[str, int]:
         """Maintenance pass for the append-only side tables: each batch
@@ -246,6 +267,7 @@ class ParquetMergeSink:
             ("lineage", self.lineage_path),
             ("routed", self.routed_path),
             ("bad", self.bad_path),
+            ("field_audit", self.field_audit_path),
         ):
             if not os.path.isdir(path):
                 continue
@@ -276,7 +298,12 @@ class ParquetMergeSink:
         between `path -> path_old` and `staging -> path` leaves the
         table (possibly the exactly-once ledger) missing; restore the
         original and discard the incomplete staging dir."""
-        for path in (self.lineage_path, self.routed_path, self.bad_path):
+        for path in (
+            self.lineage_path,
+            self.routed_path,
+            self.bad_path,
+            self.field_audit_path,
+        ):
             trash, staging = path + "_old", path + "_compacting"
             if not os.path.isdir(path) and os.path.isdir(trash):
                 os.replace(trash, path)

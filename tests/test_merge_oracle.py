@@ -66,6 +66,66 @@ def test_dedup_methods_equivalent(spark, dedup_method):
     pd.testing.assert_frame_equal(got_agg, got_other)
 
 
+def test_field_diffs_reconcile_with_change_counts(spark):
+    """The per-field old→new audit rows (field_audit=True) must
+    aggregate to exactly the per-column change counts the merge itself
+    observes: count(diff rows per field) == number of applied matched
+    updates whose non-null change value differed from the target."""
+    import pyspark.sql.functions as F
+
+    base_pd = feedgen.gen_transcripts(n_convs=30, seed=42)
+    ch_pd = feedgen.gen_changes("upsert", n_events=600, n_convs=30, seed=42)
+    base = spark.createDataFrame(base_pd)
+    changes = spark.createDataFrame(ch_pd)
+    res = apply_changes(base, changes, field_audit=True)
+    diffs = res.field_diffs.toPandas()
+    assert set(diffs.columns) == {
+        "conv_id", "turn_idx", "lsn", "field", "old_value", "new_value"
+    }
+    assert len(diffs) > 0
+    # every audited row is a real difference
+    assert (diffs.new_value.notna()).all()
+    assert not ((diffs.old_value == diffs.new_value).fillna(False)).any()
+    # reconcile: recompute expected per-field counts from the raw join
+    from marc_data_migration_spark.operators.dedup import latest_per_key
+
+    latest = latest_per_key(changes)
+    t = base.select(
+        F.col("conv_id"), F.col("turn_idx"), F.col("lsn").alias("t_lsn"),
+        *[F.col(c).alias(f"t_{c}") for c in ["role", "text", "tool", "ts"]],
+    )
+    upd = latest.join(t, KEY_COLS).filter(
+        (F.col("op") != "D") & (F.col("lsn") > F.col("t_lsn"))
+    )
+    for field in ["role", "text", "tool", "ts"]:
+        want = upd.filter(
+            F.col(field).isNotNull() & ~F.col(field).eqNullSafe(F.col(f"t_{field}"))
+        ).count()
+        got = int((diffs.field == field).sum())
+        assert got == want, field
+
+
+def test_sink_fields_audit_mode(spark, tmp_path):
+    """audit='fields' persists the field-diff table; the diff rows key
+    back to routed 'updated'/'fuzzy-updated' rows of the same batch."""
+    from marc_data_migration_spark.streaming.sink_parquet import ParquetMergeSink
+
+    base_pd = feedgen.gen_transcripts(n_convs=10, seed=9)
+    ch_pd = feedgen.gen_changes("upsert", n_events=200, n_convs=10, seed=9)
+    sink = ParquetMergeSink(spark, str(tmp_path / "lake"), n_buckets=4)
+    sink.init(spark.createDataFrame(base_pd))
+    sink.apply_merge(spark.createDataFrame(ch_pd), batch_id=0, audit="fields")
+    fa = sink.field_audit().toPandas()
+    assert len(fa) > 0 and (fa.batch_id == 0).all()
+    routed = sink.routed().toPandas()
+    upd_keys = set(
+        zip(*routed[routed.route.isin(["updated", "fuzzy-updated"])][
+            ["conv_id", "turn_idx"]
+        ].T.values)
+    )
+    assert set(zip(fa.conv_id, fa.turn_idx)) <= upd_keys
+
+
 def test_idempotent_reapply(spark):
     """Applying the same batch twice == applying once (exactly-once)."""
     base_pd = feedgen.gen_transcripts(n_convs=20, seed=1)
