@@ -626,9 +626,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _SHINGLE_CTES
     + """
 , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (
+  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh) WHERE df <= 20
+),
+idx AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh),
 shared AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
-  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  FROM idx x JOIN idx y ON x.sh = y.sh AND x.doc_id < y.doc_id
   GROUP BY x.doc_id, y.doc_id
 )
 SELECT a, b,
@@ -638,8 +642,11 @@ WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
 """,
 )
 def q_ngram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # df_max=20 exercises the document-frequency cap the operator needs
+    # at corpus scale (a shingle in m docs emits m² candidate rows);
+    # sizes still count every shingle, so jaccard only underestimates
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return ngram_jaccard_pairs(docs, threshold=0.5)
+    return ngram_jaccard_pairs(docs, threshold=0.5, df_max=20)
 
 
 @query(
@@ -1512,6 +1519,25 @@ def q_cdc_apply_perfect_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    sign-LSH bucket join (operators/similarity_search.py) --------------
 
 
+def _hyperplane_bucket_sql(planes: list[list[float]]) -> str:
+    """DuckDB mirror of similarity_search.hyperplane_bucket: the SAME
+    literal plane components (deterministic LCG, 6-decimal rounding)
+    so decimal→double parsing is bit-identical across engines."""
+    v = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    terms = [
+        f"CASE WHEN list_inner_product({v}, "
+        f"[{', '.join(repr(x) for x in plane)}]) > 0 THEN {2 ** i} ELSE 0 END"
+        for i, plane in enumerate(planes)
+    ]
+    return "(" + "\n   + ".join(terms) + ")"
+
+
+def _neardup_planes():
+    from .operators.similarity_search import random_planes
+
+    return random_planes(4, 64, seed=7)
+
+
 @query(
     "embedding_neardup_pairs",
     """
@@ -1521,10 +1547,9 @@ WITH corpus AS (
   SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id % 50 = 0
 ), e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
-     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
-     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+    """
+    + _hyperplane_bucket_sql(_neardup_planes())
+    + """ AS bucket
   FROM corpus
 ), scored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1544,7 +1569,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
     )
-    return embedding_neardup_pairs(emb.unionByName(planted), threshold=0.95)
+    # bits pinned (count-free static plan) so the oracle SQL can embed
+    # the same 4 hyperplanes; bits=None auto-scales from corpus count
+    # (unit-tested at two corpus sizes in test_functions)
+    return embedding_neardup_pairs(
+        emb.unionByName(planted), threshold=0.95, bits=4, seed=7
+    )
 
 
 # -- A2 as continuous windowed metrics (plans/lineage.py

@@ -14,10 +14,54 @@ computation is bit-identical.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 LSH_BITS = 4
+
+
+def random_planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes via a fixed 64-bit LCG
+    (Knuth MMIX constants) — no RNG-library state, so the exact same
+    literals reproduce in any engine (the DuckDB oracle embeds them as
+    SQL text). Components uniform in [-1, 1), rounded to 6 decimals so
+    decimal→double parsing is bit-identical everywhere. Random
+    hyperplanes make the hash family orientation-free: leading-component
+    signs are a degenerate family on anisotropic real embeddings (most
+    mass in few components → most docs share a bucket)."""
+    out = []
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+            row.append(round((state >> 11) / float(1 << 53) * 2.0 - 1.0, 6))
+        out.append(row)
+    return out
+
+
+def hyperplane_bucket(vec_col, planes: list[list[float]]):
+    """LSH bucket: bit i = sign of <vec, plane_i>. Pure Catalyst
+    (zip_with/aggregate over literal arrays) — JVM-side, codegen'd."""
+    v = _as_double(vec_col)
+    expr = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        expr = expr + F.when(_dot(v, p) > 0, F.lit(2 ** i)).otherwise(0)
+    return expr
+
+
+def scaled_bits(n_rows: int, target_bucket_size: int = 256,
+                min_bits: int = 2, max_bits: int = 24) -> int:
+    """Bucket-width schedule: 2^bits ≈ n/target so expected bucket size
+    stays ~target as the corpus grows — within-bucket pairing is
+    quadratic in bucket size, so a FIXED bits turns linear growth into
+    quadratic blow-up (the round-1 scale cap this replaces)."""
+    if n_rows <= target_bucket_size:
+        return min_bits
+    return max(min_bits, min(max_bits, math.ceil(math.log2(n_rows / target_bucket_size))))
 
 
 def _dot(a, b):
@@ -96,19 +140,34 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    bits: int = LSH_BITS,
+    bits: int | None = None,
+    dim: int = 64,
+    seed: int = 7,
+    target_bucket_size: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection — the dedup-family
     member over vectors (brief: 'embedding-cosine near-dup'). Candidate
-    pairs come from the sign-LSH bucket equi-join (never a cross join);
-    survivors have rounded cosine ≥ threshold, oriented id_a < id_b.
-    At scale the bucket join shuffles each side once on the bucket key
-    and hot buckets split via AQE; recall is tuned by `bits` (fewer
-    bits → bigger buckets → higher recall, more compute)."""
+    pairs come from a random-hyperplane LSH bucket equi-join (never a
+    cross join); survivors have rounded cosine ≥ threshold, oriented
+    id_a < id_b. At scale the bucket join shuffles each side once on
+    the bucket key and hot buckets split via AQE.
+
+    ``bits=None`` (default) sizes the bucket count from the corpus:
+    2^bits ≈ n/target_bucket_size, keeping within-bucket pairing cost
+    ~n·target instead of quadratic (one cheap count() job up front —
+    at 100 TB read it off table metadata instead). Pass an explicit
+    ``bits`` for a pinned, count-free plan (the oracle-checked driver
+    query does). Near-dup recall per pair is (1 - θ/π)^bits for angle
+    θ; at threshold 0.95 (θ ≤ 18°) bits=8 still gives ~0.43 per table —
+    run multiple seeds and union for higher recall, as
+    lsh_multitable_ann_topk does for ANN."""
+    if bits is None:
+        bits = scaled_bits(corpus.count(), target_bucket_size)
+    planes = random_planes(bits, dim, seed)
     e = corpus.select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("v"),
-        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     a = e.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket"

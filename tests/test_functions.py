@@ -128,6 +128,70 @@ def test_multitable_lsh_recall_floor(spark):
     assert len(exact & approx) / len(exact) >= 0.7
 
 
+def test_ngram_df_cap_subset_and_recall(spark):
+    """Capped n-gram Jaccard (df_max): output ⊆ exact output (the cap
+    only removes candidate-generation shingles, sizes still count all,
+    so jaccard can only underestimate), AND the planted near-dups —
+    whose overlap lives in their many rare shingles — are all kept."""
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # plant exact near-dups: copies of every 25th doc under a shifted id
+    planted = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    exact = {(r.a, r.b) for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()}
+    capped = {
+        (r.a, r.b)
+        for r in ngram_jaccard_pairs(corpus, threshold=0.5, df_max=20).collect()
+    }
+    assert capped <= exact  # subset property
+    planted_pairs = {
+        (int(r.doc_id), int(r.doc_id) + 10_000_000)
+        for r in docs.filter(F.col("doc_id") % 25 == 0).select("doc_id").collect()
+    }
+    assert planted_pairs <= capped  # recall on planted dups unchanged
+
+
+def test_neardup_scaled_bits_and_recall(spark):
+    """bits=None derives bucket width from corpus size (2^bits ≈
+    n/target): a 4× corpus must get strictly more buckets, and planted
+    exact duplicates (cosine 1.0 → same bucket under ANY hyperplane
+    hash) are recovered at both sizes."""
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.operators.similarity_search import (
+        embedding_neardup_pairs,
+        scaled_bits,
+    )
+
+    assert scaled_bits(1_000, target_bucket_size=256) == 2
+    assert scaled_bits(100_000, target_bucket_size=256) == 9
+    assert scaled_bits(400_000, target_bucket_size=256) == 11  # 4× → +2 bits
+    assert scaled_bits(10**9, target_bucket_size=256) == 22
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    for modulus in (50, 10):  # two corpus sizes (planted count 2% / 10%)
+        planted = emb.filter(F.col("vec_id") % modulus == 0).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        )
+        corpus = emb.unionByName(planted)
+        got = {
+            (r.id_a, r.id_b)
+            for r in embedding_neardup_pairs(corpus, threshold=0.95).collect()
+        }
+        want = {
+            (int(r.vec_id), int(r.vec_id) + 10_000_000)
+            for r in emb.filter(F.col("vec_id") % modulus == 0).select("vec_id").collect()
+        }
+        assert want <= got, f"planted dup recall broken at modulus={modulus}"
+
+
 def test_hll_accuracy(spark):
     """approx_count_distinct at rsd=0.02 stays within 5% of the exact
     distinct count on the change feed — the sketch's usefulness bound."""
