@@ -136,16 +136,22 @@ def scaling_run(parallelism: int, n_events: int) -> float:
     return dt
 
 
-def stream_e2e_run(parallelism: int, n_events: int, n_batches: int = 4) -> dict:
+def stream_e2e_run(
+    parallelism: int, n_events: int, n_batches: int = 4, sink_mode: str = "cow"
+) -> dict:
     """End-to-end tail→commit throughput (the north metric's shape):
     stage a synthetic WAL as parquet chunks, then time readStream →
-    foreachBatch → dedup/merge → bucketed-parquet MERGE commit +
-    lineage append, checkpoint included."""
+    foreachBatch → dedup/merge → MERGE commit + lineage append,
+    checkpoint included. ``sink_mode`` — 'cow' rewrites touched buckets
+    per batch; 'mor' writes per-batch delta files (merge-on-read)."""
     import shutil
     import tempfile
 
     from marc_data_migration_spark.session import get_spark as _gs
-    from marc_data_migration_spark.streaming.sink_parquet import ParquetMergeSink
+    from marc_data_migration_spark.streaming.sink_parquet import (
+        MorParquetMergeSink,
+        ParquetMergeSink,
+    )
     from marc_data_migration_spark.streaming.stream import run_stream
 
     from pyspark.sql import functions as F
@@ -175,7 +181,8 @@ def stream_e2e_run(parallelism: int, n_events: int, n_batches: int = 4) -> dict:
         base = synth_feed(spark, n_events // 4, n_convs).drop("op", "commit_ts")
         # bucket count is a TABLE property, not a cluster property — keep
         # it fixed so scaling runs compare identical work at every level
-        sink = ParquetMergeSink(spark, os.path.join(work, "lake"), n_buckets=32)
+        sink_cls = MorParquetMergeSink if sink_mode == "mor" else ParquetMergeSink
+        sink = sink_cls(spark, os.path.join(work, "lake"), n_buckets=32)
         sink.init(base)
         t0 = time.perf_counter()
         run_stream(
@@ -279,10 +286,35 @@ def main() -> None:
             )
         )
         return
+    if "--stream-sinks" in sys.argv:
+        # CoW (touched-bucket rewrite) vs MoR (per-batch delta files) on
+        # the identical feed, interleaved best-of-N — the write-
+        # amplification comparison behind the --sink mor CLI flag.
+        n_events = int(os.environ.get("STREAM_EVENTS", "2000000"))
+        n_batches = int(os.environ.get("STREAM_BATCHES", "4"))
+        rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
+        best: dict[str, float] = {}
+        for _ in range(rounds):
+            for mode in ("cow", "mor"):
+                sec = stream_e2e_run(CPUS, n_events, n_batches=n_batches, sink_mode=mode)["sec"]
+                best[mode] = min(best.get(mode, float("inf")), sec)
+        print(
+            json.dumps(
+                {
+                    "metric": "MoR vs CoW stream sink speedup (same feed, interleaved best-of-N)",
+                    "value": round(best["cow"] / best["mor"], 2),
+                    "unit": "x",
+                    "n_events": n_events,
+                    "sec": {m: round(s, 2) for m, s in best.items()},
+                    "events_per_sec": {m: round(n_events / s) for m, s in best.items()},
+                }
+            )
+        )
+        return
     if "--stream" in sys.argv:
         n_events = int(os.environ.get("STREAM_EVENTS", "2000000"))
         n_batches = int(os.environ.get("STREAM_BATCHES", "4"))
-        res = stream_e2e_run(CPUS, n_events, n_batches=n_batches)
+        res = stream_e2e_run(CPUS, n_events, n_batches=n_batches, sink_mode=os.environ.get("STREAM_SINK", "cow"))
         print(
             json.dumps(
                 {

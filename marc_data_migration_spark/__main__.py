@@ -35,11 +35,19 @@ from marc_data_migration_spark.feedgen import gen_changes, gen_transcripts  # no
 from marc_data_migration_spark.operators.merge import apply_changes  # noqa: E402
 from marc_data_migration_spark.policy import load_policy  # noqa: E402
 from marc_data_migration_spark.session import get_spark  # noqa: E402
-from marc_data_migration_spark.streaming.sink_parquet import ParquetMergeSink  # noqa: E402
+from marc_data_migration_spark.streaming.sink_parquet import (  # noqa: E402
+    MorParquetMergeSink,
+    ParquetMergeSink,
+)
 from marc_data_migration_spark.streaming.stream import (  # noqa: E402
     run_stream,
     stage_feed_chunks,
 )
+
+
+def _make_sink(spark, args) -> ParquetMergeSink:
+    cls = MorParquetMergeSink if getattr(args, "sink", "cow") == "mor" else ParquetMergeSink
+    return cls(spark, args.table, n_buckets=getattr(args, "buckets", 32))
 
 
 def _merge_opts(args) -> dict:
@@ -77,7 +85,7 @@ def cmd_feedgen(args) -> None:
 
 def cmd_init(args) -> None:
     spark = get_spark("cdc-init", parallelism=args.cpus)
-    sink = ParquetMergeSink(spark, args.table, n_buckets=args.buckets)
+    sink = _make_sink(spark, args)
     if args.transcripts:
         base = spark.read.parquet(args.transcripts)
         if "lsn" not in base.columns:
@@ -92,7 +100,7 @@ def cmd_init(args) -> None:
 
 def cmd_stream(args) -> None:
     spark = get_spark("cdc-stream", parallelism=args.cpus)
-    sink = ParquetMergeSink(spark, args.table, n_buckets=args.buckets)
+    sink = _make_sink(spark, args)
     transform = None
     if args.policy:
         transform = load_policy(args.policy).transform
@@ -145,9 +153,12 @@ def cmd_apply(args) -> None:
 
 def cmd_compact(args) -> None:
     spark = get_spark("cdc-compact", parallelism=args.cpus)
-    sink = ParquetMergeSink(spark, args.table)
+    sink = _make_sink(spark, args)
     before = sink.compact_audit(target_files=args.target_files)
-    print(json.dumps({"table": args.table, "files_before": before, "target_files": args.target_files}))
+    out = {"table": args.table, "files_before": before, "target_files": args.target_files}
+    if isinstance(sink, MorParquetMergeSink):
+        out["delta_batches_folded"] = sink.compact_data()
+    print(json.dumps(out))
 
 
 def cmd_report(args) -> None:
@@ -200,6 +211,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--table", required=True)
     p.add_argument("--transcripts", default=None, help="parquet of initial transcripts (default: synthetic)")
     p.add_argument("--buckets", type=int, default=32)
+    p.add_argument("--sink", choices=["cow", "mor"], default="cow", help="copy-on-write (bucket rewrite) or merge-on-read (delta files)")
     p.add_argument("--convs", type=int, default=50)
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_init)
@@ -212,13 +224,16 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--salt-buckets", type=int, default=0, help="salted repartition for hot-conversation skew")
     p.add_argument("--max-files-per-trigger", type=int, default=1)
     p.add_argument("--evolved", action="store_true", help="read the additive v2 schema (tool_meta)")
-    p.add_argument("--audit", choices=["full", "lineage"], default="full", help="'lineage' sheds the per-change routed audit for max throughput (~25%% of batch cost)")
+    p.add_argument("--sink", choices=["cow", "mor"], default="cow", help="copy-on-write (bucket rewrite) or merge-on-read (delta files)")
+    p.add_argument("--audit", choices=["fields", "full", "lineage"], default="full", help="'fields' adds the per-field old/new diff table; 'lineage' sheds the per-change routed audit for max throughput (~25%% of batch cost)")
     _add_merge_flags(p)
     p.set_defaults(fn=cmd_stream)
 
-    p = sub.add_parser("compact", help="rewrite audit/ledger side tables into few files")
+    p = sub.add_parser("compact", help="rewrite audit/ledger side tables into few files (+fold MoR deltas)")
     p.add_argument("--table", required=True)
     p.add_argument("--target-files", type=int, default=8)
+    p.add_argument("--buckets", type=int, default=32)
+    p.add_argument("--sink", choices=["cow", "mor"], default="cow")
     p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser("apply", help="one-shot batch replay of a changes parquet")

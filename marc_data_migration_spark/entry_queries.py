@@ -1031,6 +1031,55 @@ def q_dup_group_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- policy analyze_type: declared-type vs content consistency audit
+#    (pnca_policy.py:131-172 — call number cross-checked against 300$a;
+#    here tool cross-checked against text), tallied per mismatch class
+#    like print_online_record_counts (pnca_policy.py:118-129) -------------
+
+
+@query(
+    "mat_type_analysis",
+    """
+WITH t AS (
+  SELECT CASE event_id % 4
+    WHEN 0 THEN 'video-player' WHEN 1 THEN 'browser'
+    WHEN 2 THEN 'calculator' ELSE 'none' END AS tool,
+    props AS text
+  FROM events
+)
+SELECT mismatch, count(*) AS n FROM (
+  SELECT CASE
+    WHEN contains(lower(coalesce(tool,'')), 'video')
+         AND NOT contains(lower(coalesce(text,'')), 'video') THEN 'video-undescribed'
+    WHEN lower(coalesce(tool,'')) IN ('browser','search')
+         AND NOT contains(lower(coalesce(text,'')), 'http') THEN 'web-no-url'
+    WHEN lower(coalesce(tool,'')) = 'calculator'
+         AND NOT regexp_matches(lower(coalesce(text,'')), '[0-9]') THEN 'calc-no-number'
+  END AS mismatch FROM t
+) WHERE mismatch IS NOT NULL GROUP BY mismatch
+""",
+)
+def q_mat_type_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .policy import TranscriptPolicy
+
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id")
+    t = ev.select(
+        F.when(eid % 4 == 0, "video-player")
+        .when(eid % 4 == 1, "browser")
+        .when(eid % 4 == 2, "calculator")
+        .otherwise("none")
+        .alias("tool"),
+        F.col("props").alias("text"),
+    )
+    flagged = t.withColumn("mismatch", TranscriptPolicy().analyze_type(t))
+    return (
+        flagged.filter(F.col("mismatch").isNotNull())
+        .groupBy("mismatch")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # -- J4: broadcast dict/map lookup join + prefix-rule cascade
 #    (location_mapper.py:9-54 literal map, :66-108 prefix rules;
 #    applied pnca_policy.py:315-380) --------------------------------------

@@ -43,6 +43,9 @@ class MergeResult:
     # caller unpersists after consuming final/routed
     field_diffs: DataFrame | None = None  # per-field old→new audit rows
     # (field_audit=True) — reference fields-audit log, record_update.py:626-641
+    delta: DataFrame | None = None  # changed rows only (emit_delta=True):
+    # merged values for applied upserts + 'D' markers, the write set of a
+    # merge-on-read sink — O(batch) rows instead of O(touched partitions)
 
     def unpersist(self) -> None:
         if self.cached is not None:
@@ -77,6 +80,7 @@ def apply_changes(
     require_perfect_match: bool = False,
     persist_join: bool = False,
     field_audit: bool = False,
+    emit_delta: bool = False,
 ) -> MergeResult:
     """Apply a change batch to the target table state, returning the
     new state plus routing/quarantine side outputs.
@@ -246,6 +250,22 @@ def apply_changes(
         )
     )
 
+    delta = None
+    if emit_delta:
+        # The write set of a merge-on-read sink: only rows the batch
+        # actually changed — merged values for applied upserts plus
+        # delete markers. Rejected/stale/noop rows emit nothing, so a
+        # replay of an already-applied batch produces an EMPTY delta.
+        delta = (
+            j.filter(applied | deleted)
+            .select(
+                *[F.col(f"c_{k}").alias(k) for k in KEY_COLS],
+                *merged_cols,
+                F.col("c_lsn").alias("lsn"),
+                F.when(deleted, F.lit("D")).otherwise(F.lit("U")).alias("_op"),
+            )
+        )
+
     routed = j.filter(has_c).select(
         *[F.col(f"c_{k}").alias(k) for k in KEY_COLS],
         F.col("c_op").alias("op"),
@@ -260,4 +280,5 @@ def apply_changes(
         bad=bad,
         cached=j if persist_join else None,
         field_diffs=field_diffs,
+        delta=delta,
     )

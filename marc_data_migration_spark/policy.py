@@ -44,6 +44,8 @@ class TransformPolicy(Protocol):
 
     def local_id(self, df: DataFrame) -> Column: ...
 
+    def analyze_type(self, df: DataFrame) -> Column: ...
+
 
 def load_policy(dotted: str) -> TransformPolicy:
     """Reference-style dynamic plugin load:
@@ -81,6 +83,13 @@ class DefaultPolicy:
     def local_id(self, df: DataFrame) -> Column:
         return F.xxhash64("conv_id", "turn_idx")
 
+    def analyze_type(self, df: DataFrame) -> Column:
+        """Type-consistency audit hook (reference ``analyze_type``,
+        pnca_policy.py:131-172): a label Column flagging rows whose
+        declared type is not corroborated by their description, null
+        when consistent. Default: nothing flagged."""
+        return F.lit(None).cast("string")
+
 
 # Location-map analogue of pnca/location_mapper.py:9-54: a literal
 # code→location dim applied by broadcast join / map lookup (J4).
@@ -109,6 +118,32 @@ class TranscriptPolicy(DefaultPolicy):
     """
 
     NOISE_TOOLS = ("deprecated", "legacy")
+
+    def analyze_type(self, df: DataFrame) -> Column:
+        """Mat-type analysis analogue (pnca_policy.py:131-172): the
+        reference cross-checks the call number against the 300$a
+        physical description and logs rows where the declared carrier
+        isn't corroborated ('video' call number but no
+        videocassette/videorecording in 300$a, etc.). Here the declared
+        ``tool`` is cross-checked against the ``text`` payload; the
+        label names the inconsistency class, null = consistent. Pure
+        Catalyst — a whole-stage-codegen'd when-cascade."""
+        tool = F.lower(F.coalesce(F.col("tool"), F.lit("")))
+        text = F.lower(F.coalesce(F.col("text"), F.lit("")))
+        return (
+            F.when(
+                tool.contains("video") & ~text.contains("video"),
+                F.lit("video-undescribed"),
+            )
+            .when(
+                tool.isin("browser", "search") & ~text.contains("http"),
+                F.lit("web-no-url"),
+            )
+            .when(
+                (tool == "calculator") & ~text.rlike("[0-9]"),
+                F.lit("calc-no-number"),
+            )
+        )
 
     def conditional_moves(self) -> list[tuple[str, str]]:
         # analogue of 500→591 / 505→590 moves (pnca_policy.py:54-69)

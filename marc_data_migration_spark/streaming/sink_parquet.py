@@ -30,7 +30,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.merge import MergeResult, apply_changes
@@ -331,4 +331,240 @@ class ParquetMergeSink:
                         os.replace(os.path.join(full, entry), dst)
                 shutil.rmtree(full, ignore_errors=True)
             elif name.startswith("_staging_batch_") and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+
+
+class MorParquetMergeSink(ParquetMergeSink):
+    """Merge-on-read variant of the local sink — the Iceberg MoR
+    analogue (write.merge.mode='merge-on-read' + positional/equality
+    deletes). ``apply_merge`` writes ONLY a per-batch delta file set
+    (merged rows for applied upserts + 'D' markers, partitioned by
+    bucket) instead of rewriting every touched bucket: write I/O per
+    batch is O(batch rows), not O(touched-bucket bytes) — the copy-on-
+    write sink's dominant cost and the honest production write shape.
+
+    Readers reconstruct current state last-writer-wins over
+    (base ∪ deltas): row_number() over the key ordered by batch seq
+    then LSN, drop 'D' winners. Read cost grows with the delta count;
+    ``compact_data()`` folds deltas back into the bucketed base
+    (rewrite_data_files analogue).
+
+    Commit protocol per batch: stage delta → audits → lineage append
+    (THE ledger commit) → atomic rename into delta/. A crash before
+    the ledger replays the batch (staged dir is invisible and gets
+    rewritten); a crash between ledger and rename is rolled FORWARD by
+    init-time recovery (the staged delta is complete by construction).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 32):
+        super().__init__(spark, path, n_buckets)
+        self.delta_path = os.path.join(path, "delta")
+        self._recover_mor()
+
+    # -- merge-on-read view ------------------------------------------------
+    def _delta_batch_dirs(self) -> list[str]:
+        if not os.path.isdir(self.delta_path):
+            return []
+        return sorted(
+            os.path.join(self.delta_path, n)
+            for n in os.listdir(self.delta_path)
+            if n.startswith("batch_id=")
+        )
+
+    def _has_deltas(self) -> bool:
+        for d in self._delta_batch_dirs():
+            for _, _, files in os.walk(d):
+                if any(f.endswith(".parquet") for f in files):
+                    return True
+        return False
+
+    def _mor_view(self, buckets: list[int] | None) -> DataFrame:
+        """Current state = last writer per key over base ∪ deltas.
+        Spark 4 plans row_number()=1 as WindowGroupLimit (partial+final)
+        so the reconstruction is map-side-limited, not a full sort."""
+        parts = []
+        if self.exists():
+            b = self.spark.read.option("mergeSchema", "true").parquet(self.data_path)
+            if buckets is not None:
+                b = b.filter(F.col(BUCKET_COL).isin(buckets))
+            parts.append(
+                b.drop(BUCKET_COL)
+                .withColumn("_op", F.lit("U"))
+                .withColumn("_seq", F.lit(-1).cast("long"))
+            )
+        if self._has_deltas():
+            d = self.spark.read.option("mergeSchema", "true").parquet(self.delta_path)
+            if buckets is not None:
+                d = d.filter(F.col(BUCKET_COL).isin(buckets))
+            parts.append(
+                d.drop(BUCKET_COL).withColumn(
+                    "_seq", F.col("batch_id").cast("long")
+                ).drop("batch_id")
+            )
+        if not parts:
+            return self.spark.createDataFrame([], TRANSCRIPTS_SCHEMA)
+        view = parts[0]
+        for p in parts[1:]:
+            view = view.unionByName(p, allowMissingColumns=True)
+        w = Window.partitionBy(*KEY_COLS).orderBy(
+            F.col("_seq").desc(), F.col("lsn").desc()
+        )
+        return (
+            view.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("_op") != "D"))
+            .drop("_rn", "_op", "_seq")
+        )
+
+    def read(self) -> DataFrame:
+        return self._mor_view(None)
+
+    def _read_buckets(self, buckets: list[int]) -> DataFrame:
+        return self._mor_view(buckets)
+
+    # -- MERGE (delta write) -----------------------------------------------
+    def apply_merge(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        audit: str = "full",
+        **merge_opts,
+    ) -> MergeResult | None:
+        if audit not in ("fields", "full", "lineage"):
+            raise ValueError(f"unknown audit mode: {audit}")
+        if batch_id in self._ledger():
+            return None
+        n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        if batch_df.rdd.getNumPartitions() < n_part:
+            batch_df = batch_df.repartition(n_part, *KEY_COLS)
+        batch_df = batch_df.persist()
+        touched = [
+            r.b
+            for r in batch_df.select(bucket_expr(self.n_buckets).alias("b")).distinct().collect()
+        ]
+        if self.exists() or self._has_deltas():
+            base = self._read_buckets(touched)
+        else:
+            base = self._empty_base(batch_df)
+        res = apply_changes(
+            base,
+            batch_df,
+            persist_join=True,
+            field_audit=(audit == "fields"),
+            emit_delta=True,
+            **merge_opts,
+        )
+        # 1. stage the delta (materializes the persisted join; invisible
+        #    to readers until the final rename)
+        staging = os.path.join(self.path, f"_delta_staging_batch_{batch_id}")
+        (
+            res.delta.withColumn(BUCKET_COL, bucket_expr(self.n_buckets))
+            .repartition(max(len(touched), 1), BUCKET_COL)
+            .sortWithinPartitions(BUCKET_COL, *KEY_COLS)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(staging)
+        )
+        # 2. audits + lineage (ledger commit), projecting from the cache
+        n_bad = res.bad.count()
+        lineage = batch_lineage(
+            res.routed, batch_id, n_partitions=self.n_buckets, n_bad=n_bad
+        )
+        if audit in ("full", "fields"):
+            (
+                res.routed.coalesce(8)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(self.routed_path)
+            )
+            if n_bad:
+                res.bad.coalesce(8).withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(self.bad_path)
+        if audit == "fields" and res.field_diffs is not None:
+            (
+                res.field_diffs.coalesce(8)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(self.field_audit_path)
+            )
+        lineage.coalesce(1).write.mode("append").parquet(self.lineage_path)
+        # 3. publish: atomic rename into the live delta directory
+        self._publish_delta(staging, batch_id)
+        batch_df.unpersist()
+        res.unpersist()
+        self._ledger().add(batch_id)
+        return res
+
+    def _publish_delta(self, staging: str, batch_id: int) -> None:
+        live = os.path.join(self.delta_path, f"batch_id={batch_id}")
+        has_files = any(
+            f.endswith(".parquet") for _, _, fs in os.walk(staging) for f in fs
+        )
+        if not has_files:  # all-stale/all-bad batch: nothing to publish
+            shutil.rmtree(staging, ignore_errors=True)
+            return
+        os.makedirs(self.delta_path, exist_ok=True)
+        if os.path.isdir(live):  # duplicate publish (recovery overlap)
+            shutil.rmtree(staging, ignore_errors=True)
+        else:
+            os.replace(staging, live)
+
+    # -- compaction ----------------------------------------------------------
+    def compact_data(self) -> int:
+        """Fold all published deltas into the bucketed base (Iceberg
+        rewrite_data_files analogue); returns the number of delta
+        batches folded. Crash-safe at every window: the staged base is
+        written from the MoR view before any swap; restoring the old
+        base (init recovery) is correct because the deltas are only
+        deleted after the new base is live, and a live new base with
+        leftover deltas is also correct (the folded values and the
+        delta values tie-break to the same rows)."""
+        batches = self._delta_batch_dirs()
+        if not batches:
+            return 0
+        staging = self.data_path + "_compacting"
+        (
+            self.read()
+            .withColumn(BUCKET_COL, bucket_expr(self.n_buckets))
+            .repartition(self.n_buckets, BUCKET_COL)
+            .sortWithinPartitions(BUCKET_COL, *KEY_COLS)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(staging)
+        )
+        trash = self.data_path + "_old"
+        shutil.rmtree(trash, ignore_errors=True)
+        if os.path.isdir(self.data_path):
+            os.replace(self.data_path, trash)
+        os.replace(staging, self.data_path)
+        for b in batches:
+            shutil.rmtree(b, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
+        return len(batches)
+
+    # -- crash recovery --------------------------------------------------------
+    def _recover_mor(self) -> None:
+        """Roll staged deltas forward (ledgered) or back (un-ledgered),
+        and restore the base if a compact_data swap was interrupted."""
+        # base swap recovery (compact_data crashed mid-swap)
+        trash = self.data_path + "_old"
+        if not os.path.isdir(self.data_path) and os.path.isdir(trash):
+            os.replace(trash, self.data_path)
+        shutil.rmtree(self.data_path + "_compacting", ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
+        # staged-delta recovery
+        if not os.path.isdir(self.path):
+            return
+        for name in os.listdir(self.path):
+            if not name.startswith("_delta_staging_batch_"):
+                continue
+            full = os.path.join(self.path, name)
+            try:
+                bid = int(name.rsplit("_", 1)[1])
+            except ValueError:
+                shutil.rmtree(full, ignore_errors=True)
+                continue
+            if bid in self._ledger():
+                # ledgered ⇒ the staged write completed; publish it
+                self._publish_delta(full, bid)
+            else:
+                # un-ledgered ⇒ the batch will replay and re-stage
                 shutil.rmtree(full, ignore_errors=True)

@@ -1,0 +1,140 @@
+"""Merge-on-read sink (MorParquetMergeSink): per-batch delta files +
+last-writer-wins read view + compaction. Must be semantically
+indistinguishable from the copy-on-write sink — same oracle, same
+exactly-once/idempotence contract — while writing O(batch) rows per
+batch instead of rewriting touched buckets.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from marc_data_migration_spark import feedgen, oracle
+from marc_data_migration_spark.schemas import KEY_COLS
+from marc_data_migration_spark.streaming.sink_parquet import (
+    MorParquetMergeSink,
+    ParquetMergeSink,
+)
+from marc_data_migration_spark.streaming.stream import run_stream, stage_feed_chunks
+
+
+def _chunks(ch_pd, n):
+    return [g.reset_index(drop=True) for g in np.array_split(ch_pd, n)]
+
+
+def _setup(spark, tmp_path, variant="upsert", n_events=400, seed=3):
+    base_pd = feedgen.gen_transcripts(n_convs=20, seed=seed)
+    ch_pd = feedgen.gen_changes(variant, n_events=n_events, n_convs=20, seed=seed)
+    ch_pd = ch_pd.sort_values("lsn").reset_index(drop=True)
+    sink = MorParquetMergeSink(spark, str(tmp_path / "target"), n_buckets=8)
+    sink.init(spark.createDataFrame(base_pd))
+    return base_pd, ch_pd, sink
+
+
+def _final_text(df):
+    pdf = df.orderBy(*KEY_COLS).toPandas()
+    return list(zip(pdf.conv_id, pdf.turn_idx, pdf.text.fillna("<N>"), pdf.lsn))
+
+
+def _oracle_state(base_pd, ch_pd):
+    want = oracle.replay(base_pd, ch_pd)
+    return list(zip(want.conv_id, want.turn_idx, want.text.fillna("<N>"), want.lsn))
+
+
+def test_mor_stream_equals_oracle(spark, tmp_path):
+    base_pd, ch_pd, sink = _setup(spark, tmp_path)
+    stage_feed_chunks(_chunks(ch_pd, 4), str(tmp_path / "feed"))
+    run_stream(spark, str(tmp_path / "feed"), sink, str(tmp_path / "ckpt"))
+    assert _final_text(sink.read()) == _oracle_state(base_pd, ch_pd)
+    # delta dirs exist, base buckets untouched since init
+    assert len(sink._delta_batch_dirs()) >= 1
+
+
+def test_mor_matches_cow_sink(spark, tmp_path):
+    """Both sinks applied the same chunked feed → identical final state
+    (incl. deletes, fuzzy-free path)."""
+    base_pd = feedgen.gen_transcripts(n_convs=20, seed=5)
+    ch_pd = feedgen.gen_changes("delete", n_events=400, n_convs=20, seed=5)
+    ch_pd = ch_pd.sort_values("lsn").reset_index(drop=True)
+    cow = ParquetMergeSink(spark, str(tmp_path / "cow"), n_buckets=8)
+    mor = MorParquetMergeSink(spark, str(tmp_path / "mor"), n_buckets=8)
+    cow.init(spark.createDataFrame(base_pd))
+    mor.init(spark.createDataFrame(base_pd))
+    for i, chunk in enumerate(_chunks(ch_pd, 3)):
+        cow.apply_merge(spark.createDataFrame(chunk), batch_id=i)
+        mor.apply_merge(spark.createDataFrame(chunk), batch_id=i)
+    assert _final_text(mor.read()) == _final_text(cow.read())
+
+
+def test_mor_replay_is_noop(spark, tmp_path):
+    base_pd, ch_pd, sink = _setup(spark, tmp_path, n_events=200, seed=7)
+    batch = spark.createDataFrame(ch_pd)
+    assert sink.apply_merge(batch, batch_id=0) is not None
+    state1 = _final_text(sink.read())
+    assert sink.apply_merge(batch, batch_id=0) is None  # ledger hit
+    assert _final_text(sink.read()) == state1
+    # forced re-apply under a new batch_id: all-stale ⇒ EMPTY delta is
+    # not even published, state unchanged
+    n_deltas = len(sink._delta_batch_dirs())
+    sink.apply_merge(batch, batch_id=1)
+    assert _final_text(sink.read()) == state1
+    assert len(sink._delta_batch_dirs()) == n_deltas
+
+
+def test_mor_compaction_preserves_state(spark, tmp_path):
+    base_pd, ch_pd, sink = _setup(spark, tmp_path, variant="delete", seed=11)
+    for i, chunk in enumerate(_chunks(ch_pd, 3)):
+        sink.apply_merge(spark.createDataFrame(chunk), batch_id=i)
+    before = _final_text(sink.read())
+    assert before == _oracle_state(base_pd, ch_pd)
+    folded = sink.compact_data()
+    assert folded >= 1
+    assert sink._delta_batch_dirs() == []
+    assert _final_text(sink.read()) == before
+    # post-compaction batches keep applying correctly (fresh LSN range —
+    # gen_changes restarts at lsn 1, which would be stale vs applied state)
+    more = feedgen.gen_changes("upsert", n_events=100, n_convs=20, seed=99)
+    more["lsn"] = more["lsn"] + 10_000
+    sink.apply_merge(spark.createDataFrame(more), batch_id=50)
+    want = _oracle_state(
+        base_pd,
+        __import__("pandas").concat([ch_pd, more], ignore_index=True),
+    )
+    assert _final_text(sink.read()) == want
+
+
+def test_mor_staged_delta_recovery(spark, tmp_path):
+    """Crash between ledger append and delta publish must roll FORWARD:
+    the staged delta is complete once the ledger row exists."""
+    base_pd, ch_pd, sink = _setup(spark, tmp_path, n_events=200, seed=13)
+    sink.apply_merge(spark.createDataFrame(ch_pd), batch_id=0)
+    want = _final_text(sink.read())
+    # simulate the crash window: demote the published delta back to a
+    # staged dir (ledger row for batch 0 already written)
+    live = sink._delta_batch_dirs()[0]
+    staged = os.path.join(sink.path, "_delta_staging_batch_0")
+    os.replace(live, staged)
+    reopened = MorParquetMergeSink(spark, sink.path, n_buckets=8)
+    assert reopened._delta_batch_dirs() != []
+    assert not os.path.exists(staged)
+    assert _final_text(reopened.read()) == want
+    # un-ledgered staged dir (crash before ledger) rolls BACK
+    staged9 = os.path.join(sink.path, "_delta_staging_batch_999")
+    os.makedirs(staged9)
+    reopened2 = MorParquetMergeSink(spark, sink.path, n_buckets=8)
+    assert not os.path.exists(staged9)
+    assert _final_text(reopened2.read()) == want
+
+
+def test_mor_compaction_crash_recovery(spark, tmp_path):
+    """Crash mid-compaction (base moved aside, new base not yet live)
+    restores the old base; the un-deleted deltas make the view whole."""
+    base_pd, ch_pd, sink = _setup(spark, tmp_path, n_events=200, seed=17)
+    sink.apply_merge(spark.createDataFrame(ch_pd), batch_id=0)
+    want = _final_text(sink.read())
+    os.replace(sink.data_path, sink.data_path + "_old")
+    reopened = MorParquetMergeSink(spark, sink.path, n_buckets=8)
+    assert os.path.isdir(reopened.data_path)
+    assert _final_text(reopened.read()) == want

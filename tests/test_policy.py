@@ -96,3 +96,39 @@ def test_resize_media_stub_contract(spark):
     assert len(out) == 20
     assert all(len(r.payload) == 32 for r in out)
     assert all(r.meta["resized_bytes"] == "32" for r in out)
+
+
+def test_analyze_type_flags(spark):
+    """analyze_type (pnca_policy.py:131-172 analogue): declared tool vs
+    text-content consistency labels, null when consistent or when the
+    default policy is in force."""
+    rows = pd.DataFrame(
+        [
+            {"conv_id": "c", "turn_idx": 0, "tool": "video-player", "text": "shows a video of a cat"},
+            {"conv_id": "c", "turn_idx": 1, "tool": "video-player", "text": "plain words only"},
+            {"conv_id": "c", "turn_idx": 2, "tool": "browser", "text": "fetched http://x.test"},
+            {"conv_id": "c", "turn_idx": 3, "tool": "browser", "text": "no link here"},
+            {"conv_id": "c", "turn_idx": 4, "tool": "calculator", "text": "result: 42"},
+            {"conv_id": "c", "turn_idx": 5, "tool": "calculator", "text": "result pending"},
+            {"conv_id": "c", "turn_idx": 6, "tool": None, "text": None},
+        ]
+    )
+    df = spark.createDataFrame(rows)
+    pol = TranscriptPolicy()
+    got = {
+        r.turn_idx: r.m
+        for r in df.withColumn("m", pol.analyze_type(df)).collect()
+    }
+    assert got == {
+        0: None,
+        1: "video-undescribed",
+        2: None,
+        3: "web-no-url",
+        4: None,
+        5: "calc-no-number",
+        6: None,
+    }
+    base = DefaultPolicy()
+    assert all(
+        r.m is None for r in df.withColumn("m", base.analyze_type(df)).collect()
+    )
