@@ -50,33 +50,36 @@ def minhash_signatures_r1(df: DataFrame) -> DataFrame:
 
 def shuffle_bytes(spark, fn) -> tuple[float, int]:
     """Run fn() and return (wall sec, shuffle bytes written) summed over
-    the job's stages via the status store."""
-    sc = spark.sparkContext
-    store = spark._jsparkSession.sharedState().statusStore()
-    before_ids = {s.stageId() for s in _stages(store)}
+    the job's new stages, read from the Spark UI REST API (the session
+    here enables the UI solely for this)."""
+    before_ids = {s["stageId"] for s in _stages(spark)}
     t0 = time.perf_counter()
     fn()
     dt = time.perf_counter() - t0
-    total = 0
-    for s in _stages(store):
-        if s.stageId() not in before_ids:
-            total += s.shuffleWriteBytes()
+    total = sum(
+        s.get("shuffleWriteBytes", 0)
+        for s in _stages(spark)
+        if s["stageId"] not in before_ids
+    )
     return dt, total
 
 
-def _stages(store):
-    it = store.stageList(None).iterator()
-    out = []
-    while it.hasNext():
-        out.append(it.next())
-    return out
+def _stages(spark) -> list[dict]:
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages") as r:
+        return json.load(r)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     rounds = int(os.environ.get("AB_ROUNDS", "3"))
-    spark = get_spark("minhash-ab", parallelism=cpus)
+    spark = get_spark(
+        "minhash-ab", parallelism=cpus, extra_conf={"spark.ui.enabled": "true"}
+    )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     docs = docs.persist()
     docs.count()
