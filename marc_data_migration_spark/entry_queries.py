@@ -544,6 +544,25 @@ def _md5int_sql(x: str) -> str:
     return f"CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
 
 
+def _hyperplane_bucket_sql(planes: list[list[float]], col: str = "embedding") -> str:
+    """DuckDB mirror of similarity_search.hyperplane_bucket: the SAME
+    literal plane components (deterministic LCG, 6-decimal rounding)
+    so decimal→double parsing is bit-identical across engines."""
+    v = f"list_transform({col}, x -> CAST(x AS DOUBLE))"
+    terms = [
+        f"CASE WHEN list_inner_product({v}, "
+        f"[{', '.join(repr(x) for x in plane)}]) > 0 THEN {2 ** i} ELSE 0 END"
+        for i, plane in enumerate(planes)
+    ]
+    return "(" + "\n   + ".join(terms) + ")"
+
+
+def _lsh_planes(n: int, seed: int = 7) -> list[list[float]]:
+    from .operators.similarity_search import random_planes
+
+    return random_planes(n, 64, seed=seed)
+
+
 _SHINGLE_CTES = f"""
 WITH norm AS (
   SELECT doc_id, string_split({_norm_sql('text')}, ' ') AS w FROM documents
@@ -678,10 +697,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
-     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
-     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+    """
+    + _hyperplane_bucket_sql(_lsh_planes(4))
+    + """ AS bucket
   FROM embeddings
 ),
 scored AS (
@@ -1568,25 +1586,6 @@ def q_cdc_apply_perfect_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    sign-LSH bucket join (operators/similarity_search.py) --------------
 
 
-def _hyperplane_bucket_sql(planes: list[list[float]]) -> str:
-    """DuckDB mirror of similarity_search.hyperplane_bucket: the SAME
-    literal plane components (deterministic LCG, 6-decimal rounding)
-    so decimal→double parsing is bit-identical across engines."""
-    v = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
-    terms = [
-        f"CASE WHEN list_inner_product({v}, "
-        f"[{', '.join(repr(x) for x in plane)}]) > 0 THEN {2 ** i} ELSE 0 END"
-        for i, plane in enumerate(planes)
-    ]
-    return "(" + "\n   + ".join(terms) + ")"
-
-
-def _neardup_planes():
-    from .operators.similarity_search import random_planes
-
-    return random_planes(4, 64, seed=7)
-
-
 @query(
     "embedding_neardup_pairs",
     """
@@ -1597,7 +1596,7 @@ WITH corpus AS (
 ), e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
     """
-    + _hyperplane_bucket_sql(_neardup_planes())
+    + _hyperplane_bucket_sql(_lsh_planes(4))
     + """ AS bucket
   FROM corpus
 ), scored AS (
@@ -1664,27 +1663,22 @@ def q_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- multi-table LSH ANN (similarity_search.lsh_multitable_ann_topk):
-#    the recall lever over the single-table variant — measured recall@3
-#    on the test embeddings: L=4 → 0.60, L=8 → 0.87, L=16 → 1.00 at
-#    bits=4 (random vectors are LSH's worst case; clustered real
-#    embeddings fare better). Oracle = UNION of the 8 per-table bucket
-#    joins ---------------------------------------------------------------
-
-
-def _bucket_sql(col: str, offset: int, bits: int = 4) -> str:
-    terms = " + ".join(
-        f"(CASE WHEN {col}[{offset + i + 1}] > 0 THEN {2 ** i} ELSE 0 END)"
-        for i in range(bits)
-    )
-    return f"({terms})"
-
+#    the recall lever over the single-table variant. Round 2 moves the
+#    hash family from component-slice signs (degenerate on anisotropic
+#    real embeddings, table count capped at dim/bits) to random
+#    hyperplanes: one LCG stream of L·bits planes, sliced per table,
+#    the same literals embedded in the DuckDB oracle. Measured recall@3
+#    on the (worst-case, random) test embeddings: L=4 → 0.47, L=8 →
+#    0.72, L=16 → 0.92 — matching 1-(1-p)^L theory, p ≈ 0.14/table.
+#    Oracle = bucket rows per table UNION ALL'd, one distinct bucket
+#    self-join ----------------------------------------------------------
 
 _MT_TABLES = 8
-_MT_UNION = "\nUNION\n".join(
-    f"""SELECT q.vec_id AS q, c.vec_id AS cand
-  FROM embeddings q JOIN embeddings c
-    ON {_bucket_sql('q.embedding', t * 4)} = {_bucket_sql('c.embedding', t * 4)}
-   AND q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id"""
+_MT_PLANES = _lsh_planes(_MT_TABLES * 4)
+_MT_BUCKETS = "\nUNION ALL\n".join(
+    f"SELECT vec_id, {t} AS t,\n"
+    + _hyperplane_bucket_sql(_MT_PLANES[t * 4:(t + 1) * 4])
+    + " AS bk FROM embeddings"
     for t in range(_MT_TABLES)
 )
 
@@ -1692,8 +1686,12 @@ _MT_UNION = "\nUNION\n".join(
 @query(
     "lsh_multitable_ann_topk",
     f"""
-WITH cand AS (
-{_MT_UNION}
+WITH b AS (
+{_MT_BUCKETS}
+), cand AS (
+  SELECT DISTINCT q.vec_id AS q, c.vec_id AS cand
+  FROM b q JOIN b c ON q.t = c.t AND q.bk = c.bk
+  WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
 ), e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings

@@ -3,9 +3,14 @@
 - brute-force cosine top-k — the exact baseline: broadcast the (small)
   query set against the full corpus, JVM-side zip_with/aggregate dot
   products, window top-k;
-- sign-LSH bucketed ANN — the scale path: both sides hash to a bucket
-  from the signs of the leading components; the join is bucket-local,
-  touching ~corpus/2^bits candidates per query instead of all rows.
+- random-hyperplane LSH bucketed ANN — the scale path: both sides hash
+  to a bucket from the signs of <vec, plane_i> against deterministic
+  random hyperplanes; the join is bucket-local, touching
+  ~corpus/2^bits candidates per query instead of all rows. (Signs of
+  the leading components — round 1's family — are degenerate on
+  anisotropic real embeddings, where most variance lives in a few
+  components and most docs share a bucket; random hyperplanes are
+  orientation-free.)
 
 At 100 TB the corpus side stays partitioned; only queries broadcast.
 All arithmetic is double (cast from float32 once) so the oracle's
@@ -96,36 +101,23 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
-def sign_bucket(vec_col, bits: int = LSH_BITS):
-    """LSH bucket from the signs of the first `bits` components."""
-    return sign_bucket_at(vec_col, 0, bits)
-
-
-def sign_bucket_at(vec_col, offset: int, bits: int = LSH_BITS):
-    """Sign-LSH bucket from components [offset, offset+bits)."""
-    expr = F.lit(0)
-    for i in range(bits):
-        expr = expr + F.when(
-            F.element_at(vec_col, offset + i + 1) > 0, F.lit(2 ** i)
-        ).otherwise(0)
-    return expr
-
-
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 bits: int = LSH_BITS) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's sign
-    bucket — the bucket equi-join replaces the cross join, so the probe
-    cost scales with corpus/2^bits. Same output shape as cosine_topk."""
+                 bits: int = LSH_BITS, dim: int = 64, seed: int = 7) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's
+    hyperplane-sign bucket — the bucket equi-join replaces the cross
+    join, so the probe cost scales with corpus/2^bits. Same output
+    shape as cosine_topk."""
+    planes = random_planes(bits, dim, seed)
     q = queries.select(
         F.col(id_col).alias("q"),
         _as_double(F.col(vec_col)).alias("qv"),
-        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("cv"),
-        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     scored = F.broadcast(q).join(c, "bucket").filter(F.col("q") != F.col(id_col))
     scored = scored.select(
@@ -193,31 +185,28 @@ def lsh_multitable_ann_topk(
     bits: int = LSH_BITS,
     n_tables: int = 4,
     dim: int = 64,
+    seed: int = 7,
 ) -> DataFrame:
-    """Multi-table sign-LSH ANN — the standard recall lever: table t
-    buckets on the signs of components [t·bits, (t+1)·bits); a pair is
-    a candidate if it collides in ANY table (recall ≈ 1-(1-r)^L for
-    per-table recall r). Physically: both sides explode to SLIM
-    (id, table, bucket) rows — vectors never ride the candidate
+    """Multi-table hyperplane-LSH ANN — the standard recall lever:
+    table t buckets on the signs against its own `bits` hyperplanes
+    (one LCG stream of n_tables·bits planes, sliced per table, so the
+    DuckDB oracle reproduces every table from the same literals); a
+    pair is a candidate if it collides in ANY table (recall ≈
+    1-(1-r)^L for per-table recall r). Unlike round 1's
+    component-slice family, table count is not capped by dim — every
+    table projects the full vector. Physically: both sides explode to
+    SLIM (id, table, bucket) rows — vectors never ride the candidate
     shuffle or the distinct — candidates dedupe on ids, and the
     id→vector map joins back once for scoring. Probe cost ≈
-    L·|corpus|/2^bits per query.
-
-    ``dim`` is the declared embedding dimension: offsets past the
-    array end would silently bucket to 0 (element_at → null → the
-    `when` falls through), turning that table into an all-pairs join —
-    validated here instead."""
-    if n_tables * bits > dim:
-        raise ValueError(
-            f"n_tables*bits = {n_tables * bits} exceeds dim={dim}: "
-            "out-of-range components would silently bucket to 0 "
-            "(a disguised cross join for those tables)"
-        )
+    L·|corpus|/2^bits per query."""
+    all_planes = random_planes(n_tables * bits, dim, seed)
     tables = F.array(
         *[
             F.struct(
                 F.lit(t).alias("t"),
-                sign_bucket_at(F.col(vec_col), t * bits, bits).alias("bk"),
+                hyperplane_bucket(
+                    F.col(vec_col), all_planes[t * bits:(t + 1) * bits]
+                ).alias("bk"),
             )
             for t in range(n_tables)
         ]

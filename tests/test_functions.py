@@ -109,8 +109,12 @@ def test_jaccard_tokens(spark):
 
 def test_multitable_lsh_recall_floor(spark):
     """Multi-table LSH must recover most of the exact top-3 (recall
-    lever over the single-table variant): measured 0.87 at bits=4 L=8
-    on the test embeddings — pinned at a 0.7 floor to allow noise."""
+    lever over the single-table variant). Random unit vectors are
+    LSH's worst case: per-pair table collision p ≈ 0.14 for top-3
+    neighbors (cosine ≈ 0.35 → (1-θ/π)^4), so theory gives recall
+    1-(1-p)^L ≈ 0.46/0.70/0.91 at L=4/8/16 — measured 0.47/0.72/0.92
+    over 50 queries × 2 seeds. Pinned: L=16 ≥ 0.8 on 150 exact pairs
+    (a 5-query sample has 1/15 granularity and flaps)."""
     from pyspark.sql import functions as F
 
     from marc_data_migration_spark.operators.similarity_search import (
@@ -119,13 +123,13 @@ def test_multitable_lsh_recall_floor(spark):
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    q = emb.filter(F.col("vec_id") % 100 == 0)
+    q = emb.filter(F.col("vec_id") % 10 == 0)
     exact = {(r.q, r.vec_id) for r in cosine_topk(emb, q, k=3).collect()}
     approx = {
         (r.q, r.vec_id)
-        for r in lsh_multitable_ann_topk(emb, q, k=3, bits=4, n_tables=8).collect()
+        for r in lsh_multitable_ann_topk(emb, q, k=3, bits=4, n_tables=16).collect()
     }
-    assert len(exact & approx) / len(exact) >= 0.7
+    assert len(exact & approx) / len(exact) >= 0.8
 
 
 def test_ngram_df_cap_subset_and_recall(spark):
