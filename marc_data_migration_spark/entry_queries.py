@@ -1715,6 +1715,62 @@ def q_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- IVF ANN (similarity_search.ivf_ann_topk): the coarse-quantizer
+#    scale path — argmax-cell index over 16 LCG-literal centroid
+#    directions, queries probe their best 4 cells (probe cost ≈ 1/4 of
+#    corpus, tunable per query without rebuilding the index). Oracle
+#    ranks the same struct list with a window over UNNEST ---------------
+
+
+def _ivf_cell_structs(centroids: list[list[float]], col: str = "embedding") -> str:
+    """DuckDB mirror of similarity_search._cell_scores: the same
+    centroid literals; ORDER BY s DESC, i replaces the negi field."""
+    v = f"list_transform({col}, x -> CAST(x AS DOUBLE))"
+    items = ",\n    ".join(
+        f"{{'s': list_inner_product({v}, [{', '.join(repr(x) for x in c)}]), 'i': {i}}}"
+        for i, c in enumerate(centroids)
+    )
+    return f"[{items}]"
+
+
+@query(
+    "ivf_ann_topk",
+    """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+    """
+    + _ivf_cell_structs(_lsh_planes(16, seed=11))
+    + """ AS cs
+  FROM embeddings
+), ranked AS (
+  SELECT vec_id, v, u.i AS cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY u.s DESC, u.i) AS rn
+  FROM e, UNNEST(cs) AS t(u)
+), cells AS (
+  SELECT vec_id, v, cell FROM ranked WHERE rn = 1
+), qcells AS (
+  SELECT vec_id AS q, v AS qv, cell FROM ranked
+  WHERE vec_id % 100 = 0 AND rn <= 4
+), scored AS (
+  SELECT qcells.q, cells.vec_id,
+    round(list_inner_product(qv, v)
+          / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 4) AS score
+  FROM qcells JOIN cells ON cells.cell = qcells.cell AND cells.vec_id <> qcells.q
+)
+SELECT q, vec_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY q ORDER BY score DESC, vec_id) AS rn FROM scored
+) WHERE rn <= 3
+""",
+)
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity_search import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=3, n_cells=16, nprobe=4
+    )
+
+
 # -- salted (time-sharded two-phase) sessionization — same output
 #    contract as conv_sessions, skew-broken for hot conversations
 #    (streaming/stateful.py sessionize_batch_salted; property-tested

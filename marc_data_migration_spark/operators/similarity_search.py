@@ -127,6 +127,78 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def _cell_scores(v, centroids: list[list[float]]):
+    """Array of struct(s=<v,c_i>, negi=-i, i) — struct sort order is
+    lexicographic, so sort_array(desc) ranks by score desc then i asc
+    (negi desc), matching the oracle's ORDER BY s DESC, i."""
+    return F.array(
+        *[
+            F.struct(
+                _dot(v, F.array(*[F.lit(x) for x in c])).alias("s"),
+                F.lit(-i).alias("negi"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    seed: int = 11,
+) -> DataFrame:
+    """IVF-style ANN — the coarse-quantizer alternative to LSH: corpus
+    vectors are assigned to their argmax-inner-product cell among
+    ``n_cells`` deterministic centroid directions (the same LCG-literal
+    trick as the hyperplanes, so the DuckDB oracle reproduces the
+    index exactly); each query probes its ``nprobe`` best cells. Probe
+    cost ≈ nprobe/n_cells of the corpus per query, tunable at query
+    time without rebuilding the index — the lever LSH lacks.
+
+    Physically: cell assignment is pure Catalyst (sort_array over a
+    literal struct array, no UDF, no shuffle), the probe is a bucket
+    equi-join on cell — corpus shuffles once on its cell key, queries
+    broadcast. Each (q, candidate) arises in exactly one cell, so no
+    distinct is needed. At 100 TB the cell column is precomputed and
+    the corpus bucketed/partitioned by it, turning probes into
+    partition-pruned scans; data-trained (k-means) centroids slot in
+    by passing literals — the plan shape is unchanged."""
+    centroids = random_planes(n_cells, dim, seed)
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    c = c.select(
+        id_col,
+        "cv",
+        F.sort_array(_cell_scores(F.col("cv"), centroids), asc=False)[0]["i"].alias(
+            "cell"
+        ),
+    )
+    q = queries.select(F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("qv"))
+    q = q.select(
+        "q",
+        "qv",
+        F.explode(
+            F.slice(
+                F.sort_array(_cell_scores(F.col("qv"), centroids), asc=False),
+                1,
+                nprobe,
+            )["i"]
+        ).alias("cell"),
+    )
+    scored = F.broadcast(q).join(c, "cell").filter(F.col("q") != F.col(id_col))
+    scored = scored.select(
+        "q", id_col, _cosine(F.col("qv"), F.col("cv")).alias("score")
+    )
+    w = Window.partitionBy("q").orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -132,6 +132,35 @@ def test_multitable_lsh_recall_floor(spark):
     assert len(exact & approx) / len(exact) >= 0.8
 
 
+def test_ivf_ann_recall_and_full_probe_exactness(spark):
+    """IVF ANN: (a) probing ALL cells must reproduce the exact top-k
+    bit-for-bit (every corpus row is a candidate — a machinery check,
+    not a statistical one); (b) recall grows monotonically with nprobe;
+    (c) the driver configuration (nprobe=4 of 16) clears a floor."""
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.operators.similarity_search import (
+        cosine_topk,
+        ivf_ann_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = {(r.q, r.vec_id) for r in cosine_topk(emb, q, k=3).collect()}
+    recalls = {}
+    for nprobe in (2, 4, 16):
+        got = {
+            (r.q, r.vec_id)
+            for r in ivf_ann_topk(emb, q, k=3, n_cells=16, nprobe=nprobe).collect()
+        }
+        recalls[nprobe] = len(exact & got) / len(exact)
+    assert recalls[16] == 1.0  # full probe == exact, deterministically
+    assert recalls[2] <= recalls[4] <= recalls[16]
+    # driver config: measured 0.50 on worst-case random vectors
+    # (random-cell baseline would be nprobe/n_cells = 0.25)
+    assert recalls[4] >= 0.4
+
+
 def test_ngram_df_cap_subset_and_recall(spark):
     """Capped n-gram Jaccard (df_max): output ⊆ exact output (the cap
     only removes candidate-generation shingles, sizes still count all,
