@@ -2082,3 +2082,74 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch.groupBy("op").agg(
         F.approx_count_distinct("conv_id", rsd=0.02).alias("approx_convs")
     )
+
+
+# -- dedup decision step: LSH emits near-dup PAIRS; what a pipeline
+#    keeps is one representative per transitive group, so the pairs
+#    close into connected components (component = min reachable id —
+#    operators/text_dedup.connected_components, iterative label
+#    propagation, 2 shuffles/round on slim (id,label) rows). Oracle:
+#    DuckDB recursive CTE over the same banded-LSH pair graph ----------
+
+
+@query(
+    "dedup_components",
+    _SHINGLE_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f"""
+, sig AS (
+  SELECT doc_id, seed, min({_md5int_sql("sh || '#' || CAST(seed AS VARCHAR)")}) AS minhash
+  FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed)
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         {_md5int_sql("string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)")} AS bh
+  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+),
+reach AS (
+  SELECT src AS id, src AS comp FROM edges
+  UNION
+  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY id
+""",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_dedup import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+# -- deterministic train/val/test split (functions/sampling.hash_split):
+#    stable under corpus growth (hash-bucketed, not order-sampled), so
+#    adding documents never moves an existing one between splits --------
+
+
+@query(
+    "hash_split_assign",
+    """
+SELECT doc_id,
+  CASE
+    WHEN CAST(('0x' || substring(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 9000 THEN 'train'
+    WHEN CAST(('0x' || substring(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 9500 THEN 'val'
+    ELSE 'test'
+  END AS split
+FROM documents
+""",
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", hash_split("doc_id").alias("split"))

@@ -247,3 +247,72 @@ def test_hll_accuracy(spark):
     assert rows
     for r in rows:
         assert abs(r.approx - r.exact) / r.exact < 0.05, (r.op, r.exact, r.approx)
+
+
+def test_connected_components_chain_and_bruteforce(spark):
+    """Label propagation must close transitive chains (diameter > 1 —
+    the case a single join can't see) and agree with a union-find
+    ground truth on a deterministic pseudo-random graph."""
+    from marc_data_migration_spark.operators.text_dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "a long, b long"
+    )
+    got = {r.id: r.component for r in connected_components(chain).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    # LCG edge list over 60 nodes; union-find is the oracle
+    edges, state = [], 42
+    for _ in range(45):
+        state = (state * 6364136223846793005 + 1442695040888963407) % 2**64
+        u = (state >> 11) % 60
+        state = (state * 6364136223846793005 + 1442695040888963407) % 2**64
+        v = (state >> 11) % 60
+        if u != v:
+            edges.append((min(u, v), max(u, v)))
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    want_comp = {x: min(y for y in parent if find(y) == find(x)) for x in parent}
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert got == want_comp
+
+
+def test_hash_split_stable_and_distributed(spark):
+    """hash_split: (a) assignment is a pure function of (salt, id) —
+    growing the corpus never moves an existing document (the property
+    randomSplit lacks); (b) empirical fractions land near the targets;
+    (c) fractions must sum to 1."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.functions.sampling import hash_split
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    small = {r.doc_id: r.split for r in docs.filter(F.col("doc_id") < 500)
+             .select("doc_id", hash_split("doc_id").alias("split")).collect()}
+    full = {r.doc_id: r.split for r in docs
+            .select("doc_id", hash_split("doc_id").alias("split")).collect()}
+    assert all(full[k] == v for k, v in small.items())
+
+    counts = {s: sum(1 for v in full.values() if v == s) for s in ("train", "val", "test")}
+    assert abs(counts["train"] / 2000 - 0.9) < 0.03
+    assert abs(counts["val"] / 2000 - 0.05) < 0.02
+    assert abs(counts["test"] / 2000 - 0.05) < 0.02
+
+    # a different salt re-deals the split
+    resalted = {r.doc_id: r.split for r in docs
+                .select("doc_id", hash_split("doc_id", salt="exp2").alias("split")).collect()}
+    assert any(resalted[k] != full[k] for k in full)
+
+    with _pytest.raises(ValueError):
+        hash_split("doc_id", fractions={"train": 0.5, "val": 0.1})
