@@ -2153,3 +2153,34 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", hash_split("doc_id").alias("split"))
+
+
+# -- per-stratum representation cap (functions/sampling.stratified_cap):
+#    at most `quota` docs per predicted language, deterministic order —
+#    Spark 4 plans the row_number()<=q filter as a map-side partial
+#    WindowGroupLimit, so a hot stratum never funnels through one task --
+
+
+@query(
+    "stratified_cap_by_lang",
+    f"""
+SELECT doc_id, pred_lang FROM (
+  SELECT doc_id, pred_lang,
+         row_number() OVER (PARTITION BY pred_lang ORDER BY doc_id) AS rn
+  FROM (
+    SELECT doc_id, {_LANG_CASE_SQL} AS pred_lang
+    FROM (SELECT doc_id, {_LANG_SCORE_SQL} FROM documents)
+  )
+) WHERE rn <= 40
+""",
+)
+def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.sampling import stratified_cap
+    from .functions.text_analysis import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toked = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
+    labeled = toked.select(
+        "doc_id", lang_id("_toks", toks=F.col("_toks")).alias("pred_lang")
+    )
+    return stratified_cap(labeled, "pred_lang", "doc_id", quota=40)

@@ -54,3 +54,26 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1])
     return last if expr is None else expr.otherwise(last)
+
+
+def stratified_cap(df, group_col, order_col, quota: int):
+    """Keep at most ``quota`` rows per group — the representation-cap a
+    corpus pipeline applies per language / domain / source so one
+    over-crawled stratum can't dominate the mixture. Deterministic
+    (ordered by ``order_col``, e.g. a quality score desc or stable id),
+    so reruns keep the same rows.
+
+    Spark 4 plans ``row_number() <= quota`` as a partial
+    WindowGroupLimit per input partition *before* the exchange on
+    ``group_col``: each map task forwards at most ``quota`` rows per
+    group it sees, so a hot stratum never funnels its full row set
+    through one reducer — the same pushdown that makes W1 dedup
+    skew-tolerant."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn")
+    )

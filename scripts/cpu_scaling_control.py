@@ -1,0 +1,60 @@
+"""Hardware control for the --scaling proxy: measure how much of an
+N→4N *process* scale-up this VM actually delivers for pure CPU-bound
+work (numpy dot products, no Spark, no IO, no shuffle). If this
+control itself scales at e << 1, the environment — host contention /
+throttling, not the engine — is the binding cap for any same-day
+Spark measurement, and the honest efficiency claim for the engine is
+(spark efficiency) / (control efficiency), bounded by the control.
+
+Usage: python scripts/cpu_scaling_control.py [lo] [hi]   (default 4 16)
+Interleaves levels best-of-3 like bench.py --scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import sys
+import time
+
+import numpy as np
+
+
+def _worker(n_iter: int) -> float:
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((256, 256))
+    acc = 0.0
+    for _ in range(n_iter):
+        acc += float((a @ a).trace())
+    return acc
+
+
+def run_level(n_procs: int, total_iter: int = 4800) -> float:
+    t0 = time.perf_counter()
+    with mp.Pool(n_procs) as pool:
+        pool.map(_worker, [total_iter // n_procs] * n_procs)
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    lo = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    hi = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    t_lo, t_hi = float("inf"), float("inf")
+    for _ in range(3):
+        t_lo = min(t_lo, run_level(lo))
+        t_hi = min(t_hi, run_level(hi))
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "pure-CPU process scaling control (no Spark)",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "sec": {str(lo): round(t_lo, 2), str(hi): round(t_hi, 2)},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

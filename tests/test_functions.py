@@ -316,3 +316,26 @@ def test_hash_split_stable_and_distributed(spark):
 
     with _pytest.raises(ValueError):
         hash_split("doc_id", fractions={"train": 0.5, "val": 0.1})
+
+
+def test_stratified_cap_quota_and_determinism(spark):
+    """stratified_cap keeps at most quota rows per group, specifically
+    the order-smallest ones (deterministic across reruns), and its plan
+    carries the map-side WindowGroupLimit pushdown."""
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.functions.sampling import stratified_cap
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")
+    )
+    out = stratified_cap(df, "grp", "id", quota=10)
+    rows = out.collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, []).append(r.id)
+    assert all(len(v) <= 10 for v in by_grp.values())
+    for g, ids in by_grp.items():
+        assert sorted(ids) == sorted(range(g, 1000, 7))[:10]  # order-smallest kept
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
