@@ -2184,3 +2184,59 @@ def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", lang_id("_toks", toks=F.col("_toks")).alias("pred_lang")
     )
     return stratified_cap(labeled, "pred_lang", "doc_id", quota=40)
+
+
+# -- multi-table embedding near-dup: the recall lever on the dedup
+#    side (per-pair recall 1-(1-(1-θ/π)^bits)^L — one bits=4 table
+#    catches ~0.69 of θ≤18° pairs, two ~0.90). Same planted corpus as
+#    embedding_neardup_pairs; candidates union over two plane slices
+#    of the seed-7 LCG stream, slim rows carry the join+distinct -------
+
+
+def _neardup_mt_buckets() -> str:
+    planes = _lsh_planes(8)
+    return "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS t,\n"
+        + _hyperplane_bucket_sql(planes[t * 4:(t + 1) * 4])
+        + " AS bk FROM corpus"
+        for t in range(2)
+    )
+
+
+@query(
+    "embedding_neardup_multitable",
+    """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id % 50 = 0
+), b AS (
+"""
+    + _neardup_mt_buckets()
+    + """
+), cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM b x JOIN b y ON x.t = y.t AND x.bk = y.bk AND x.vec_id < y.vec_id
+), e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM corpus
+)
+SELECT id_a, id_b, score FROM (
+  SELECT id_a, id_b,
+    round(list_inner_product(va.v, vb.v)
+          / (sqrt(list_inner_product(va.v, va.v)) * sqrt(list_inner_product(vb.v, vb.v))), 4) AS score
+  FROM cand JOIN e va ON va.vec_id = cand.id_a JOIN e vb ON vb.vec_id = cand.id_b
+) WHERE score >= 0.95
+""",
+)
+def q_embedding_neardup_mt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity_search import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    return embedding_neardup_pairs(
+        emb.unionByName(planted), threshold=0.95, bits=4, seed=7, n_tables=2
+    )

@@ -208,6 +208,7 @@ def embedding_neardup_pairs(
     dim: int = 64,
     seed: int = 7,
     target_bucket_size: int = 256,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection — the dedup-family
     member over vectors (brief: 'embedding-cosine near-dup'). Candidate
@@ -221,29 +222,67 @@ def embedding_neardup_pairs(
     ~n·target instead of quadratic (one cheap count() job up front —
     at 100 TB read it off table metadata instead). Pass an explicit
     ``bits`` for a pinned, count-free plan (the oracle-checked driver
-    query does). Near-dup recall per pair is (1 - θ/π)^bits for angle
-    θ; at threshold 0.95 (θ ≤ 18°) bits=8 still gives ~0.43 per table —
-    run multiple seeds and union for higher recall, as
-    lsh_multitable_ann_topk does for ANN."""
+    query does).
+
+    ``n_tables`` is the recall lever: per-pair recall is
+    1-(1-(1-θ/π)^bits)^L for angle θ — at threshold 0.95 (θ ≤ 18°) one
+    bits=4 table catches ~0.69 of true near-dup pairs, four catch
+    ~0.99. L > 1 switches to the slim-row shape of
+    lsh_multitable_ann_topk: (id, table, bucket) rows carry the
+    candidate self-join and distinct, vectors join back once for
+    scoring — exact duplicates collide in every table, so L only adds
+    candidates, never loses any (union over tables)."""
     if bits is None:
         bits = scaled_bits(corpus.count(), target_bucket_size)
-    planes = random_planes(bits, dim, seed)
-    e = corpus.select(
-        F.col(id_col),
-        _as_double(F.col(vec_col)).alias("v"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    a = e.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket"
-    )
-    b = e.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket"
-    )
-    j = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    return (
-        j.select(
-            "id_a", "id_b", _cosine(F.col("va"), F.col("vb")).alias("score")
+    all_planes = random_planes(n_tables * bits, dim, seed)
+    e = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    if n_tables == 1:
+        bucketed = corpus.select(
+            F.col(id_col),
+            _as_double(F.col(vec_col)).alias("v"),
+            hyperplane_bucket(F.col(vec_col), all_planes).alias("bucket"),
         )
+        a = bucketed.select(
+            F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket"
+        )
+        b = bucketed.select(
+            F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket"
+        )
+        j = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        return (
+            j.select(
+                "id_a", "id_b", _cosine(F.col("va"), F.col("vb")).alias("score")
+            )
+            .filter(F.col("score") >= threshold)
+        )
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                hyperplane_bucket(
+                    F.col(vec_col), all_planes[t * bits:(t + 1) * bits]
+                ).alias("bk"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    slim = corpus.select(F.col(id_col), F.explode(tables).alias("tb")).select(
+        id_col, F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk")
+    )
+    a = slim.select(F.col(id_col).alias("id_a"), "t", "bk")
+    b = slim.select(F.col(id_col).alias("id_b"), "t", "bk")
+    cand = (
+        a.join(b, ["t", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", _cosine(F.col("va"), F.col("vb")).alias("score"))
         .filter(F.col("score") >= threshold)
     )
 

@@ -339,3 +339,55 @@ def test_stratified_cap_quota_and_determinism(spark):
         assert sorted(ids) == sorted(range(g, 1000, 7))[:10]  # order-smallest kept
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_neardup_multitable_recall_on_perturbed(spark):
+    """Multi-table near-dup: exact copies collide in EVERY table, so
+    only perturbed near-dups (cosine just above threshold) separate the
+    recall of L=1 vs L=4. Planted: every 10th vector + small
+    deterministic Gaussian noise (cosine ≈ 0.96-0.99, θ ≈ 10-16°) —
+    per-pair theory 0.69 (L=1, bits=4) vs 0.99 (L=4). Pinned: L=4
+    recall ≥ L=1 recall (candidate sets are supersets), and L=4 ≥ 0.9."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.operators.similarity_search import (
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 10 == 0).toPandas()
+    rng = np.random.default_rng(123)
+    noisy = []
+    for _, row in base.iterrows():
+        v = np.array(row.embedding, dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        w = v + 0.15 * rng.standard_normal(v.shape) / np.sqrt(len(v))
+        w = w / np.linalg.norm(w)
+        if float(v @ w) >= 0.955:  # keep pairs safely above threshold
+            noisy.append((int(row.vec_id) + 10_000_000, [float(x) for x in w]))
+    assert len(noisy) >= 20
+    planted = spark.createDataFrame(noisy, "vec_id long, embedding array<double>")
+    orig = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    norm = orig.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x / F.sqrt(F.aggregate(F.transform(F.col("embedding"), lambda y: y * y), F.lit(0.0), lambda a, b: a + b)),
+        ).alias("embedding"),
+    )
+    corpus = norm.unionByName(planted)
+    want = {(vid - 10_000_000, vid) for vid, _ in noisy}
+    rec = {}
+    for L in (1, 4):
+        got = {
+            (r.id_a, r.id_b)
+            for r in embedding_neardup_pairs(
+                corpus, threshold=0.95, bits=4, seed=7, n_tables=L
+            ).collect()
+        }
+        rec[L] = len(want & got) / len(want)
+    assert rec[4] >= rec[1]
+    assert rec[4] >= 0.9
