@@ -2240,3 +2240,83 @@ def q_embedding_neardup_mt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(
         emb.unionByName(planted), threshold=0.95, bits=4, seed=7, n_tables=2
     )
+
+
+# -- flagship corpus-curation composition: quality gate → near-dup
+#    loser removal (CC representatives survive) → language ID →
+#    per-language representation cap. One oracle mirrors the WHOLE
+#    pipeline — the point is that the operators compose: every stage
+#    is the already-oracle-checked building block, chained ------------
+
+_CURATION_SHINGLES = _SHINGLE_CTES.replace("FROM documents", "FROM good").replace(
+    "WITH ",
+    """WITH RECURSIVE good AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= 30
+),
+""",
+    1,
+)
+
+
+@query(
+    "corpus_curation",
+    _CURATION_SHINGLES
+    + f"""
+, sig AS (
+  SELECT doc_id, seed, min({_md5int_sql("sh || '#' || CAST(seed AS VARCHAR)")}) AS minhash
+  FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed)
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         {_md5int_sql("string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)")} AS bh
+  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+),
+reach AS (
+  SELECT src AS id, src AS comp FROM edges
+  UNION
+  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+losers AS (
+  SELECT id FROM (SELECT id, min(comp) AS comp FROM reach GROUP BY id) WHERE id <> comp
+),
+kept AS (
+  SELECT doc_id, text FROM good WHERE doc_id NOT IN (SELECT id FROM losers)
+),
+labeled AS (
+  SELECT doc_id, {_LANG_CASE_SQL} AS pred_lang
+  FROM (SELECT doc_id, {_LANG_SCORE_SQL} FROM kept)
+)
+SELECT doc_id, pred_lang FROM (
+  SELECT doc_id, pred_lang,
+         row_number() OVER (PARTITION BY pred_lang ORDER BY doc_id) AS rn
+  FROM labeled
+) WHERE rn <= 50
+""",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.sampling import stratified_cap
+    from .functions.text_analysis import quality_features, tokens
+    from .operators.text_dedup import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    good = docs.filter(quality_features("text")["n_tokens"] >= 30)
+    pairs = lsh_candidate_pairs(minhash_signatures(good))
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = good.join(losers, "doc_id", "left_anti")
+    toked = kept.select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
+    labeled = toked.select(
+        "doc_id", lang_id("_toks", toks=F.col("_toks")).alias("pred_lang")
+    )
+    return stratified_cap(labeled, "pred_lang", "doc_id", quota=50)
