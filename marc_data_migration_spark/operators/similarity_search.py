@@ -73,6 +73,21 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _check_dim(df: DataFrame, vec_col: str, dim: int, op: str) -> None:
+    """Fail loudly on a dim mismatch: zip_with pads the shorter array
+    with nulls, null propagates through the dot product, every
+    `when(dot > 0)` falls through, and EVERY row hashes to bucket 0 —
+    a silent disguised cross join. One first() probe (reads one row)
+    guards the whole job."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    if row is not None and row.n != dim:
+        raise ValueError(
+            f"{op}: embedding length {row.n} != declared dim={dim} — "
+            "plane/centroid literals would null-pad and bucket every row "
+            "to 0 (a disguised cross join); pass the actual dim"
+        )
+
+
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -108,6 +123,7 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     hyperplane-sign bucket — the bucket equi-join replaces the cross
     join, so the probe cost scales with corpus/2^bits. Same output
     shape as cosine_topk."""
+    _check_dim(corpus, vec_col, dim, "lsh_ann_topk")
     planes = random_planes(bits, dim, seed)
     q = queries.select(
         F.col(id_col).alias("q"),
@@ -170,6 +186,7 @@ def ivf_ann_topk(
     the corpus bucketed/partitioned by it, turning probes into
     partition-pruned scans; data-trained (k-means) centroids slot in
     by passing literals — the plan shape is unchanged."""
+    _check_dim(corpus, vec_col, dim, "ivf_ann_topk")
     centroids = random_planes(n_cells, dim, seed)
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
     c = c.select(
@@ -232,10 +249,10 @@ def embedding_neardup_pairs(
     candidate self-join and distinct, vectors join back once for
     scoring — exact duplicates collide in every table, so L only adds
     candidates, never loses any (union over tables)."""
+    _check_dim(corpus, vec_col, dim, "embedding_neardup_pairs")
     if bits is None:
         bits = scaled_bits(corpus.count(), target_bucket_size)
     all_planes = random_planes(n_tables * bits, dim, seed)
-    e = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     if n_tables == 1:
         bucketed = corpus.select(
             F.col(id_col),
@@ -277,6 +294,7 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    e = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     va = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
     vb = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
     return (
@@ -310,6 +328,7 @@ def lsh_multitable_ann_topk(
     shuffle or the distinct — candidates dedupe on ids, and the
     id→vector map joins back once for scoring. Probe cost ≈
     L·|corpus|/2^bits per query."""
+    _check_dim(corpus, vec_col, dim, "lsh_multitable_ann_topk")
     all_planes = random_planes(n_tables * bits, dim, seed)
     tables = F.array(
         *[

@@ -136,19 +136,7 @@ class ParquetMergeSink:
             raise ValueError(f"unknown audit mode: {audit}")
         if batch_id in self._ledger():
             return None
-        # A micro-batch often arrives as one file → 1-2 input partitions,
-        # which would serialize the whole pre-shuffle pipeline on one
-        # task. Repartition on the MERGE keys: parallelism now, and the
-        # dedup groupBy + lookup join downstream reuse this exact
-        # hash-partitioning (EnsureRequirements adds no second Exchange).
-        n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        if batch_df.rdd.getNumPartitions() < n_part:
-            batch_df = batch_df.repartition(n_part, *KEY_COLS)
-        batch_df = batch_df.persist()
-        touched = [
-            r.b
-            for r in batch_df.select(bucket_expr(self.n_buckets).alias("b")).distinct().collect()
-        ]
+        batch_df, touched = self._prepare_batch(batch_df)
         base = self._read_buckets(touched) if self.exists() else self._empty_base(batch_df)
         # persist_join: the dedup+join+gate plan is evaluated exactly once
         # (by the staging write below); routed/lineage/bad then project
@@ -200,22 +188,48 @@ class ParquetMergeSink:
                 os.replace(src, dst)
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(trash_dir, ignore_errors=True)
-        # Audit/ledger appends coalesce to few files: they project from
-        # the join cache the staging write just materialized (so the
-        # coalesce never collapses the merge compute itself), and a
-        # long-lived stream otherwise accretes shuffle-partition-count
-        # tiny files per batch. Measured 4.5× on the routed append.
-        # quarantine count rides the lineage metrics (north_rule: per-
-        # partition row/conflict counts) — a cache-scan count, the batch
-        # feed is persisted above
+        self._commit_lineage_and_audits(res, batch_id, audit)
+        batch_df.unpersist()
+        res.unpersist()
+        self._ledger().add(batch_id)
+        return res
+
+    def _prepare_batch(self, batch_df: DataFrame) -> tuple[DataFrame, list[int]]:
+        """Shared pre-merge setup: key-repartition a thin micro-batch
+        (parallelism now; the dedup groupBy + lookup join downstream
+        reuse this exact hash-partitioning), persist it, and collect
+        the touched bucket ids (bounded by n_buckets)."""
+        n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        if batch_df.rdd.getNumPartitions() < n_part:
+            batch_df = batch_df.repartition(n_part, *KEY_COLS)
+        batch_df = batch_df.persist()
+        touched = [
+            r.b
+            for r in batch_df.select(
+                bucket_expr(self.n_buckets).alias("b")
+            ).distinct().collect()
+        ]
+        return batch_df, touched
+
+    def _commit_lineage_and_audits(self, res: MergeResult, batch_id: int, audit: str) -> None:
+        """Shared commit tail for both sinks. The lineage append IS the
+        ledger commit (exactly-once guard), so it precedes the audit
+        appends: a crash between them loses that batch's audit rows (the
+        batch will NOT replay), but a replayed batch can never append
+        audit rows twice — duplication silently corrupts every
+        per-change count downstream, loss is visible in the ledger.
+        Appends coalesce to few files: they project from the join cache
+        the staging write already materialized, and a long-lived stream
+        otherwise accretes shuffle-partition-count tiny files per batch
+        (measured 4.5× on the routed append)."""
         n_bad = res.bad.count()
         lineage = batch_lineage(
-            routed, batch_id, n_partitions=self.n_buckets, n_bad=n_bad
+            res.routed, batch_id, n_partitions=self.n_buckets, n_bad=n_bad
         )
         lineage.coalesce(1).write.mode("append").parquet(self.lineage_path)
         if audit in ("full", "fields"):
             (
-                routed.coalesce(8)
+                res.routed.coalesce(8)
                 .withColumn("batch_id", F.lit(batch_id))
                 .write.mode("append")
                 .parquet(self.routed_path)
@@ -230,10 +244,6 @@ class ParquetMergeSink:
                 .write.mode("append")
                 .parquet(self.field_audit_path)
             )
-        batch_df.unpersist()
-        res.unpersist()
-        self._ledger().add(batch_id)
-        return res
 
     def _empty_base(self, batch_df: DataFrame) -> DataFrame:
         payload = [c for c in batch_df.columns if c not in ("op", "lsn", "commit_ts")]
@@ -349,11 +359,14 @@ class MorParquetMergeSink(ParquetMergeSink):
     ``compact_data()`` folds deltas back into the bucketed base
     (rewrite_data_files analogue).
 
-    Commit protocol per batch: stage delta → audits → lineage append
-    (THE ledger commit) → atomic rename into delta/. A crash before
-    the ledger replays the batch (staged dir is invisible and gets
-    rewritten); a crash between ledger and rename is rolled FORWARD by
-    init-time recovery (the staged delta is complete by construction).
+    Commit protocol per batch: stage delta → lineage append (THE
+    ledger commit) → audits → atomic rename into delta/. A crash
+    before the ledger replays the batch (staged dir is invisible and
+    gets rewritten, no audit rows written yet → no duplicates); a
+    crash after the ledger is rolled FORWARD by init-time recovery
+    (the staged delta is complete by construction) — audit rows of
+    that batch may be lost but never doubled, the same contract as the
+    copy-on-write sink.
     """
 
     def __init__(self, spark: SparkSession, path: str, n_buckets: int = 32):
@@ -363,20 +376,21 @@ class MorParquetMergeSink(ParquetMergeSink):
 
     # -- merge-on-read view ------------------------------------------------
     def _delta_batch_dirs(self) -> list[str]:
+        """Published delta dirs in ASCENDING numeric batch order — the
+        order compact_data deletes them in, which is what makes a crash
+        mid-deletion safe (see compact_data)."""
         if not os.path.isdir(self.delta_path):
             return []
-        return sorted(
+        names = [n for n in os.listdir(self.delta_path) if n.startswith("batch_id=")]
+        return [
             os.path.join(self.delta_path, n)
-            for n in os.listdir(self.delta_path)
-            if n.startswith("batch_id=")
-        )
+            for n in sorted(names, key=lambda n: int(n.split("=", 1)[1]))
+        ]
 
     def _has_deltas(self) -> bool:
-        for d in self._delta_batch_dirs():
-            for _, _, files in os.walk(d):
-                if any(f.endswith(".parquet") for f in files):
-                    return True
-        return False
+        # _publish_delta never publishes an empty dir, so existence of a
+        # batch dir implies parquet files — no O(total files) walk.
+        return bool(self._delta_batch_dirs())
 
     def _mor_view(self, buckets: list[int] | None) -> DataFrame:
         """Current state = last writer per key over base ∪ deltas.
@@ -433,14 +447,7 @@ class MorParquetMergeSink(ParquetMergeSink):
             raise ValueError(f"unknown audit mode: {audit}")
         if batch_id in self._ledger():
             return None
-        n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        if batch_df.rdd.getNumPartitions() < n_part:
-            batch_df = batch_df.repartition(n_part, *KEY_COLS)
-        batch_df = batch_df.persist()
-        touched = [
-            r.b
-            for r in batch_df.select(bucket_expr(self.n_buckets).alias("b")).distinct().collect()
-        ]
+        batch_df, touched = self._prepare_batch(batch_df)
         if self.exists() or self._has_deltas():
             base = self._read_buckets(touched)
         else:
@@ -464,28 +471,10 @@ class MorParquetMergeSink(ParquetMergeSink):
             .partitionBy(BUCKET_COL)
             .parquet(staging)
         )
-        # 2. audits + lineage (ledger commit), projecting from the cache
-        n_bad = res.bad.count()
-        lineage = batch_lineage(
-            res.routed, batch_id, n_partitions=self.n_buckets, n_bad=n_bad
-        )
-        if audit in ("full", "fields"):
-            (
-                res.routed.coalesce(8)
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append")
-                .parquet(self.routed_path)
-            )
-            if n_bad:
-                res.bad.coalesce(8).withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(self.bad_path)
-        if audit == "fields" and res.field_diffs is not None:
-            (
-                res.field_diffs.coalesce(8)
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append")
-                .parquet(self.field_audit_path)
-            )
-        lineage.coalesce(1).write.mode("append").parquet(self.lineage_path)
+        # 2. ledger commit, then audits (shared tail — lineage first so a
+        #    replayed batch can never duplicate audit rows), projecting
+        #    from the cache the staging write materialized
+        self._commit_lineage_and_audits(res, batch_id, audit)
         # 3. publish: atomic rename into the live delta directory
         self._publish_delta(staging, batch_id)
         batch_df.unpersist()
@@ -514,10 +503,15 @@ class MorParquetMergeSink(ParquetMergeSink):
         batches folded. Crash-safe at every window: the staged base is
         written from the MoR view before any swap; restoring the old
         base (init recovery) is correct because the deltas are only
-        deleted after the new base is live, and a live new base with
-        leftover deltas is also correct (the folded values and the
-        delta values tie-break to the same rows)."""
-        batches = self._delta_batch_dirs()
+        deleted after the new base is live. Deltas are deleted in
+        ASCENDING batch order, so a crash mid-deletion can only leave a
+        NEWEST-suffix of deltas on disk — each surviving delta row
+        either ties with the folded base value (same last writer) or IS
+        the last writer, so the view is unchanged. (Deleting in
+        lexicographic order — 'batch_id=10' before 'batch_id=2' — could
+        leave an OLD delta alive after newer ones were removed, and its
+        _seq would outrank the folded base: silent regression.)"""
+        batches = self._delta_batch_dirs()  # ascending numeric order
         if not batches:
             return 0
         staging = self.data_path + "_compacting"

@@ -391,3 +391,44 @@ def test_neardup_multitable_recall_on_perturbed(spark):
         rec[L] = len(want & got) / len(want)
     assert rec[4] >= rec[1]
     assert rec[4] >= 0.9
+
+
+def test_ann_dim_mismatch_raises(spark):
+    """A dim mismatch must fail loudly: null-padded zip_with would hash
+    every row to bucket 0 — a silent disguised cross join."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.operators.similarity_search import (
+        embedding_neardup_pairs,
+        ivf_ann_topk,
+        lsh_ann_topk,
+    )
+
+    emb = spark.range(0, 10).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i)) for i in range(32)]).alias("embedding"),
+    )
+    for fn in (
+        lambda: lsh_ann_topk(emb, emb, dim=64).collect(),
+        lambda: ivf_ann_topk(emb, emb, dim=64).collect(),
+        lambda: embedding_neardup_pairs(emb, bits=4, dim=64).collect(),
+    ):
+        with _pytest.raises(ValueError, match="dim"):
+            fn()
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain longer than max_iter must raise, not silently return
+    split components."""
+    import pytest as _pytest
+
+    from marc_data_migration_spark.operators.text_dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "a long, b long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=3)
+    out = connected_components(chain, max_iter=15).collect()
+    assert {r.component for r in out} == {0}

@@ -138,3 +138,64 @@ def test_mor_compaction_crash_recovery(spark, tmp_path):
     reopened = MorParquetMergeSink(spark, sink.path, n_buckets=8)
     assert os.path.isdir(reopened.data_path)
     assert _final_text(reopened.read()) == want
+
+
+def test_mor_delta_dirs_numeric_order_and_crash_suffix(spark, tmp_path):
+    """_delta_batch_dirs must order numerically (batch 2 before 10 —
+    lexicographic order let compact_data delete batch 10's delta before
+    batch 2's, so a crash could leave an OLD delta outranking the
+    folded base), and a simulated crash mid-deletion (newest-suffix
+    survivor) must leave the view unchanged."""
+    import shutil
+
+    base_pd, ch_pd, sink = _setup(spark, tmp_path, n_events=300, seed=19)
+    chunks = _chunks(ch_pd, 3)
+    for i, chunk in zip((0, 2, 10), chunks):
+        sink.apply_merge(spark.createDataFrame(chunk), batch_id=i)
+    dirs = sink._delta_batch_dirs()
+    assert [int(d.rsplit("=", 1)[1]) for d in dirs] == [0, 2, 10]
+    want = _final_text(sink.read())
+    # keep a copy of the NEWEST delta, fold everything into the base,
+    # then restore the copy — exactly the on-disk state after a crash
+    # that deleted deltas 0 and 2 (ascending order) but not 10
+    newest = dirs[-1]
+    saved = str(tmp_path / "saved_delta")
+    shutil.copytree(newest, saved)
+    assert sink.compact_data() == 3
+    assert sink._delta_batch_dirs() == []
+    shutil.copytree(saved, newest)
+    assert _final_text(sink.read()) == want  # suffix survivor is benign
+
+
+def test_mor_crash_before_publish_no_duplicate_audits(spark, tmp_path):
+    """Commit order is ledger → audits → publish: a crash right before
+    publish (ledger + audits already written) must (a) roll the staged
+    delta forward on reopen, (b) skip the batch on replay, and (c) leave
+    exactly ONE copy of the batch's routed-audit rows — the
+    audits-before-ledger order this replaces duplicated them."""
+    base_pd, ch_pd, sink = _setup(spark, tmp_path, n_events=200, seed=23)
+    batch = spark.createDataFrame(ch_pd)
+
+    calls = {"n": 0}
+    orig = sink._publish_delta
+
+    def crashing_publish(staging, batch_id):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before publish")
+
+    sink._publish_delta = crashing_publish
+    try:
+        sink.apply_merge(batch, batch_id=0, audit="full")
+    except RuntimeError:
+        pass
+    assert calls["n"] == 1
+    sink._publish_delta = orig
+    routed_once = spark.read.parquet(sink.routed_path).count()
+    assert routed_once > 0  # audits landed before the crash
+    # reopen = crash recovery: ledgered staged delta rolls forward
+    reopened = MorParquetMergeSink(spark, sink.path, n_buckets=8)
+    assert reopened._delta_batch_dirs() != []
+    assert _final_text(reopened.read()) == _oracle_state(base_pd, ch_pd)
+    # replay of the ledgered batch is a no-op: no second audit append
+    assert reopened.apply_merge(batch, batch_id=0, audit="full") is None
+    assert spark.read.parquet(reopened.routed_path).count() == routed_once
