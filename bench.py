@@ -38,6 +38,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "embedding_neardup_pairs",
     "windowed_metrics",
+    "ivf_ann_topk",
 ]
 
 
@@ -78,8 +79,11 @@ def run_suite(parallelism: int, sf_dir: str) -> tuple[dict[str, float], int]:
         for name in HEADLINE:
             if name not in QUERIES:
                 continue
-            df = QUERIES[name](spark, sf_dir)
+            # time construction too: most queries build lazily, but the
+            # iterative ones (corpus_curation's label propagation) run
+            # driver-looped jobs during construction
             t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             timings[name] = round(min(timings.get(name, float("inf")), dt), 3)
