@@ -16,18 +16,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from marc_data_migration_spark.entry_queries import ORACLES, QUERIES  # noqa: E402
+from marc_data_migration_spark.entry_queries import (  # noqa: E402
+    ORDERED_ORACLES,
+    ORDERED_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full CDC MERGE apply (dedup → lookup join → field-level
     merge → delete handling) on the sf0.001 change feed."""
-    return QUERIES["cdc_apply"](spark, "/root/testdata/sf0.001")
+    return ORDERED_QUERIES["cdc_apply"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    # Curated order: the correctness driver proves the first 50 entries;
+    # see entry_queries.QUERY_ORDER for the window/rotation policy.
+    return dict(ORDERED_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return dict(ORDERED_ORACLES)

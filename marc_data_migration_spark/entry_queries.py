@@ -453,8 +453,8 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT CAST(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END AS INT) AS is_online,
        count(*) AS n,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
 FROM events GROUP BY 1
 """,
 )
@@ -2320,3 +2320,98 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", lang_id("_toks", toks=F.col("_toks")).alias("pred_lang")
     )
     return stratified_cap(labeled, "pred_lang", "doc_id", quota=50)
+
+
+# ---------------------------------------------------------------------
+# Curated driver proof-window ordering
+# ---------------------------------------------------------------------
+# The correctness driver records the FIRST 50 entries of queries()
+# iteration order. The registry has more queries than slots, so the
+# window is a curated budget: every §2-core operator proof plus every
+# not-yet-driver-proven query sits inside the first 50; queries whose
+# operator is transitively proven by another in-window query (and which
+# already hold a green row in CORRECTNESS_r01/r02) rotate to the tail.
+# The rotation is documented in README.md §correctness.
+QUERY_ORDER: list[str] = [
+    # EP1 flagship + CDC core (W1/J1/M1-M16/F4/S8/S10)
+    "cdc_apply",
+    "cdc_dedup_max_lsn",
+    "cdc_dedup_salted",
+    "cdc_dup_keys",
+    "cdc_route_counts",
+    "cdc_lookup_join",
+    "cdc_apply_replace_only",
+    "cdc_apply_perfect_gate",
+    "conditional_move",
+    "key_extraction",
+    "normalize_text",
+    "fuzzy_perfect_pairs",
+    "online_classifier_counts",
+    "mismatch_join",
+    "dup_role_report",
+    "dup_group_members",
+    "exists_dup_keys",
+    "field_change_counts",
+    "field_audit_diffs",
+    "windowed_metrics",
+    "mat_type_analysis",
+    "map_lookup_location",
+    "pipe_parse_derive",
+    "local_id_assign",
+    "conv_turns_ordered",
+    "conv_sessions",
+    # OLAP / window / set ops
+    "topk_orders_per_segment",
+    "asof_plan_lookup",
+    "range_join_session_events",
+    "rollup_route_metrics",
+    "value_percentiles",
+    "keys_new_in_feed",
+    "keys_touched_overlap",
+    "approx_distinct_convs",
+    # LLM-pipeline: dedup family
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "ngram_neardup_pairs",
+    "simhash_dup_clusters",
+    "dedup_components",
+    # LLM-pipeline: similarity search
+    "embedding_cosine_topk",
+    "lsh_multitable_ann_topk",
+    "ivf_ann_topk",
+    "embedding_neardup_pairs",
+    "embedding_neardup_multitable",
+    # LLM-pipeline: text analysis / sampling / composed flagship
+    "lang_id",
+    "text_quality",
+    "hash_split_assign",
+    "stratified_cap_by_lang",
+    "corpus_curation",
+    "multimodal_features",
+    # ---- rotation tail (slot 51+): operators transitively proven by an
+    # in-window query; each holds a green row in CORRECTNESS_r01/r02.
+    "pricing_summary",
+    "jaccard_pairs",
+    "fuzzy_ratio_pairs",
+    "minhash_signatures",
+    "simhash_16",
+    "lsh_ann_topk",
+    "token_counts",
+    "doc_fingerprint",
+    "frame_sample_counts",
+    "json_serialize",
+    "tag_classify",
+    "conv_sessions_salted",
+    "media_resize",
+]
+
+_missing = set(QUERIES) - set(QUERY_ORDER)
+_unknown = set(QUERY_ORDER) - set(QUERIES)
+if _missing or _unknown:  # pragma: no cover - registration-time guard
+    raise RuntimeError(
+        f"QUERY_ORDER out of sync: missing={sorted(_missing)} unknown={sorted(_unknown)}"
+    )
+
+#: registry views in curated order (consumed by __spark_entry__).
+ORDERED_QUERIES = {k: QUERIES[k] for k in QUERY_ORDER}
+ORDERED_ORACLES = {k: ORACLES[k] for k in QUERY_ORDER if k in ORACLES}

@@ -36,21 +36,31 @@ def run_level(n_procs: int, total_iter: int = 4800) -> float:
     return time.perf_counter() - t0
 
 
-def main() -> None:
-    lo = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    hi = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+def control_efficiency(lo: int, hi: int, rounds: int = 3) -> dict:
+    """Importable entry point (bench.py --scaling sandwiches its Spark
+    measurement between these): returns the control's own N→4N scaling
+    efficiency under the current VM conditions."""
     t_lo, t_hi = float("inf"), float("inf")
-    for _ in range(3):
+    for _ in range(rounds):
         t_lo = min(t_lo, run_level(lo))
         t_hi = min(t_hi, run_level(hi))
     eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "value": round(eff, 3),
+        "sec": {str(lo): round(t_lo, 2), str(hi): round(t_hi, 2)},
+    }
+
+
+def main() -> None:
+    lo = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    hi = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    res = control_efficiency(lo, hi)
     print(
         json.dumps(
             {
                 "metric": "pure-CPU process scaling control (no Spark)",
-                "value": round(eff, 3),
                 "unit": "ratio",
-                "sec": {str(lo): round(t_lo, 2), str(hi): round(t_hi, 2)},
+                **res,
             }
         )
     )
