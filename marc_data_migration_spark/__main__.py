@@ -38,6 +38,7 @@ from marc_data_migration_spark.session import get_spark  # noqa: E402
 from marc_data_migration_spark.streaming.sink_parquet import (  # noqa: E402
     MorParquetMergeSink,
     ParquetMergeSink,
+    open_sink,
 )
 from marc_data_migration_spark.streaming.stream import (  # noqa: E402
     run_stream,
@@ -46,8 +47,15 @@ from marc_data_migration_spark.streaming.stream import (  # noqa: E402
 
 
 def _make_sink(spark, args) -> ParquetMergeSink:
-    cls = MorParquetMergeSink if getattr(args, "sink", "cow") == "mor" else ParquetMergeSink
-    return cls(spark, args.table, n_buckets=getattr(args, "buckets", 32))
+    # sink mode + bucket count are TABLE properties persisted at init;
+    # flags are only honored for a brand-new table and validated (raise
+    # on mismatch) against an existing one — see sink_parquet.open_sink.
+    return open_sink(
+        spark,
+        args.table,
+        sink_mode=getattr(args, "sink", None),
+        n_buckets=getattr(args, "buckets", None),
+    )
 
 
 def _merge_opts(args) -> dict:
@@ -163,7 +171,9 @@ def cmd_compact(args) -> None:
 
 def cmd_report(args) -> None:
     spark = get_spark("cdc-report", parallelism=args.cpus)
-    sink = ParquetMergeSink(spark, args.table)
+    # open_sink: a merge-on-read table must be reported through the MoR
+    # view or every un-compacted delta batch is silently invisible
+    sink = open_sink(spark, args.table)
     if args.kind in ("route-counts", "dup-keys", "conflicts") and not os.path.isdir(
         sink.routed_path
     ):
@@ -220,11 +230,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--feed-dir", required=True)
     p.add_argument("--table", required=True)
     p.add_argument("--checkpoint", required=True)
-    p.add_argument("--buckets", type=int, default=32)
+    p.add_argument("--buckets", type=int, default=None, help="bucket count for a BRAND-NEW table (default 32); existing tables use their persisted layout and a conflicting value raises")
     p.add_argument("--salt-buckets", type=int, default=0, help="salted repartition for hot-conversation skew")
     p.add_argument("--max-files-per-trigger", type=int, default=1)
     p.add_argument("--evolved", action="store_true", help="read the additive v2 schema (tool_meta)")
-    p.add_argument("--sink", choices=["cow", "mor"], default="cow", help="copy-on-write (bucket rewrite) or merge-on-read (delta files)")
+    p.add_argument("--sink", choices=["cow", "mor"], default=None, help="sink mode for a BRAND-NEW table (default cow); existing tables use their persisted mode and a conflicting value raises")
     p.add_argument("--audit", choices=["fields", "full", "lineage"], default="full", help="'fields' adds the per-field old/new diff table; 'lineage' sheds the per-change routed audit for max throughput (~25%% of batch cost)")
     _add_merge_flags(p)
     p.set_defaults(fn=cmd_stream)
@@ -232,8 +242,8 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("compact", help="rewrite audit/ledger side tables into few files (+fold MoR deltas)")
     p.add_argument("--table", required=True)
     p.add_argument("--target-files", type=int, default=8)
-    p.add_argument("--buckets", type=int, default=32)
-    p.add_argument("--sink", choices=["cow", "mor"], default="cow")
+    p.add_argument("--buckets", type=int, default=None, help="taken from the table's persisted layout; a conflicting value raises")
+    p.add_argument("--sink", choices=["cow", "mor"], default=None, help="taken from the table's persisted mode; a conflicting value raises")
     p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser("apply", help="one-shot batch replay of a changes parquet")

@@ -73,12 +73,32 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _check_dim(df: DataFrame, vec_col: str, dim: int, op: str) -> None:
+def _check_dim(
+    df: DataFrame, vec_col: str, dim: int, op: str, strict: bool = False
+) -> None:
     """Fail loudly on a dim mismatch: zip_with pads the shorter array
     with nulls, null propagates through the dot product, every
     `when(dot > 0)` falls through, and EVERY row hashes to bucket 0 —
-    a silent disguised cross join. One first() probe (reads one row)
-    guards the whole job."""
+    a silent disguised cross join.
+
+    Default mode probes ONE row (first() — cheap, catches the common
+    wrong-`dim` argument) but misses a RAGGED corpus whose later rows
+    differ. ``strict=True`` runs a min(size)/max(size) aggregate over
+    the whole column — one cheap scan-only job, no shuffle beyond a
+    2-value agg — and catches ragged rows too; use it when the corpus
+    source doesn't enforce a fixed embedding length."""
+    if strict:
+        row = df.select(
+            F.min(F.size(F.col(vec_col))).alias("lo"),
+            F.max(F.size(F.col(vec_col))).alias("hi"),
+        ).first()
+        if row is not None and row.lo is not None and not (row.lo == row.hi == dim):
+            raise ValueError(
+                f"{op}: embedding lengths range [{row.lo}, {row.hi}], "
+                f"declared dim={dim} — ragged/mismatched vectors would "
+                "null-pad and bucket rows to 0 (a disguised cross join)"
+            )
+        return
     row = df.select(F.size(F.col(vec_col)).alias("n")).first()
     if row is not None and row.n != dim:
         raise ValueError(
@@ -118,12 +138,13 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
 
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 bits: int = LSH_BITS, dim: int = 64, seed: int = 7) -> DataFrame:
+                 bits: int = LSH_BITS, dim: int = 64, seed: int = 7,
+                 strict_dim: bool = False) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's
     hyperplane-sign bucket — the bucket equi-join replaces the cross
     join, so the probe cost scales with corpus/2^bits. Same output
     shape as cosine_topk."""
-    _check_dim(corpus, vec_col, dim, "lsh_ann_topk")
+    _check_dim(corpus, vec_col, dim, "lsh_ann_topk", strict=strict_dim)
     planes = random_planes(bits, dim, seed)
     q = queries.select(
         F.col(id_col).alias("q"),
@@ -169,6 +190,7 @@ def ivf_ann_topk(
     nprobe: int = 4,
     dim: int = 64,
     seed: int = 11,
+    strict_dim: bool = False,
 ) -> DataFrame:
     """IVF-style ANN — the coarse-quantizer alternative to LSH: corpus
     vectors are assigned to their argmax-inner-product cell among
@@ -186,7 +208,7 @@ def ivf_ann_topk(
     the corpus bucketed/partitioned by it, turning probes into
     partition-pruned scans; data-trained (k-means) centroids slot in
     by passing literals — the plan shape is unchanged."""
-    _check_dim(corpus, vec_col, dim, "ivf_ann_topk")
+    _check_dim(corpus, vec_col, dim, "ivf_ann_topk", strict=strict_dim)
     centroids = random_planes(n_cells, dim, seed)
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
     c = c.select(
@@ -226,6 +248,7 @@ def embedding_neardup_pairs(
     seed: int = 7,
     target_bucket_size: int = 256,
     n_tables: int = 1,
+    strict_dim: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection — the dedup-family
     member over vectors (brief: 'embedding-cosine near-dup'). Candidate
@@ -249,7 +272,7 @@ def embedding_neardup_pairs(
     candidate self-join and distinct, vectors join back once for
     scoring — exact duplicates collide in every table, so L only adds
     candidates, never loses any (union over tables)."""
-    _check_dim(corpus, vec_col, dim, "embedding_neardup_pairs")
+    _check_dim(corpus, vec_col, dim, "embedding_neardup_pairs", strict=strict_dim)
     if bits is None:
         bits = scaled_bits(corpus.count(), target_bucket_size)
     all_planes = random_planes(n_tables * bits, dim, seed)
@@ -315,6 +338,7 @@ def lsh_multitable_ann_topk(
     n_tables: int = 4,
     dim: int = 64,
     seed: int = 7,
+    strict_dim: bool = False,
 ) -> DataFrame:
     """Multi-table hyperplane-LSH ANN — the standard recall lever:
     table t buckets on the signs against its own `bits` hyperplanes
@@ -328,7 +352,7 @@ def lsh_multitable_ann_topk(
     shuffle or the distinct — candidates dedupe on ids, and the
     id→vector map joins back once for scoring. Probe cost ≈
     L·|corpus|/2^bits per query."""
-    _check_dim(corpus, vec_col, dim, "lsh_multitable_ann_topk")
+    _check_dim(corpus, vec_col, dim, "lsh_multitable_ann_topk", strict=strict_dim)
     all_planes = random_planes(n_tables * bits, dim, seed)
     tables = F.array(
         *[

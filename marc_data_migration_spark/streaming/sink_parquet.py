@@ -27,6 +27,7 @@ LSN guard in the MERGE itself makes even a forced re-apply converge).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -38,14 +39,54 @@ from ..plans.lineage import batch_lineage
 from ..schemas import KEY_COLS, TRANSCRIPTS_SCHEMA
 
 BUCKET_COL = "bucket"
+PROPS_FILE = "_table_properties.json"
 
 
 def bucket_expr(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
 
 
+def load_table_properties(path: str) -> dict | None:
+    """Persisted table-layout properties ({sink_mode, n_buckets}), or
+    None for a path that has never been written. Layout is a property of
+    the TABLE, not of the invocation — per-run CLI flags must not be
+    able to silently re-bucket the base or read a merge-on-read table
+    through the copy-on-write view (stale reads)."""
+    p = os.path.join(path, PROPS_FILE)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def open_sink(
+    spark: SparkSession,
+    path: str,
+    sink_mode: str | None = None,
+    n_buckets: int | None = None,
+) -> "ParquetMergeSink":
+    """Open the sink for ``path`` using its persisted table properties.
+    Explicit arguments are validated against the persisted layout (a
+    mismatch raises — re-bucketing is a deliberate maintenance rewrite,
+    not a flag); for a brand-new table they set it (defaults cow/32)."""
+    props = load_table_properties(path)
+    if props is not None:
+        mode = props["sink_mode"]
+        if sink_mode is not None and sink_mode != mode:
+            raise ValueError(
+                f"table {path} was initialized with sink_mode={mode!r}; "
+                f"got --sink {sink_mode!r}. Reading a '{mode}' table through "
+                f"the '{sink_mode}' view would return stale/incorrect state."
+            )
+        sink_mode = mode  # n_buckets validated against props by __init__
+    cls = MorParquetMergeSink if (sink_mode or "cow") == "mor" else ParquetMergeSink
+    return cls(spark, path, n_buckets=n_buckets)
+
+
 class ParquetMergeSink:
-    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 32):
+    SINK_MODE = "cow"
+
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int | None = None):
         self.spark = spark
         self.path = path
         self.data_path = os.path.join(path, "data")
@@ -53,10 +94,42 @@ class ParquetMergeSink:
         self.routed_path = os.path.join(path, "routed")
         self.bad_path = os.path.join(path, "bad")
         self.field_audit_path = os.path.join(path, "field_audit")
-        self.n_buckets = n_buckets
+        self.n_buckets = self._resolve_layout(n_buckets)
         self._applied_ids: set[int] | None = None  # lazy ledger cache
         self._recover_compaction()
         self._recover_staging()
+
+    def _resolve_layout(self, n_buckets: int | None) -> int:
+        """Validate this sink against the table's persisted layout.
+        n_buckets is a TABLE property: the bucket directory layout and
+        the bucket filter in _read_buckets must agree, or base rows are
+        silently missed and the LSN idempotence guard is bypassed."""
+        props = load_table_properties(self.path)
+        if props is None:
+            return 32 if n_buckets is None else n_buckets
+        if props["sink_mode"] != self.SINK_MODE:
+            raise ValueError(
+                f"table {self.path} has sink_mode={props['sink_mode']!r} but was "
+                f"opened as {type(self).__name__} ({self.SINK_MODE!r}); use "
+                f"open_sink() or the matching sink class."
+            )
+        if n_buckets is not None and n_buckets != props["n_buckets"]:
+            raise ValueError(
+                f"table {self.path} is bucketed n_buckets={props['n_buckets']}; "
+                f"got n_buckets={n_buckets}. Changing bucket count requires a "
+                f"full rewrite (init on a fresh path), not a flag."
+            )
+        return props["n_buckets"]
+
+    def _persist_layout(self) -> None:
+        """Record {sink_mode, n_buckets} at table create (idempotent)."""
+        if load_table_properties(self.path) is not None:
+            return
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, PROPS_FILE + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"sink_mode": self.SINK_MODE, "n_buckets": self.n_buckets}, fh)
+        os.replace(tmp, os.path.join(self.path, PROPS_FILE))
 
     # -- target state ---------------------------------------------------
     def exists(self) -> bool:
@@ -65,6 +138,7 @@ class ParquetMergeSink:
         )
 
     def init(self, base: DataFrame) -> None:
+        self._persist_layout()
         # key-clustered within each bucket file: parquet row-group
         # min/max stats on (conv_id, turn_idx) let point/range reads
         # skip row groups — the local analogue of Iceberg's sort order
@@ -136,6 +210,7 @@ class ParquetMergeSink:
             raise ValueError(f"unknown audit mode: {audit}")
         if batch_id in self._ledger():
             return None
+        self._persist_layout()  # streams onto an un-init'd path create the table
         batch_df, touched = self._prepare_batch(batch_df)
         base = self._read_buckets(touched) if self.exists() else self._empty_base(batch_df)
         # persist_join: the dedup+join+gate plan is evaluated exactly once
@@ -191,7 +266,6 @@ class ParquetMergeSink:
         self._commit_lineage_and_audits(res, batch_id, audit)
         batch_df.unpersist()
         res.unpersist()
-        self._ledger().add(batch_id)
         return res
 
     def _prepare_batch(self, batch_df: DataFrame) -> tuple[DataFrame, list[int]]:
@@ -227,6 +301,12 @@ class ParquetMergeSink:
             res.routed, batch_id, n_partitions=self.n_buckets, n_bad=n_bad
         )
         lineage.coalesce(1).write.mode("append").parquet(self.lineage_path)
+        # The lineage append IS the commit — reconcile the in-memory
+        # ledger cache NOW, not at the end of apply_merge: if an audit
+        # append below raises and the stream retries the batch on this
+        # same sink object, a stale cache would replay the whole tail
+        # and append lineage + audit rows a second time.
+        self._ledger().add(batch_id)
         if audit in ("full", "fields"):
             (
                 res.routed.coalesce(8)
@@ -369,7 +449,9 @@ class MorParquetMergeSink(ParquetMergeSink):
     copy-on-write sink.
     """
 
-    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 32):
+    SINK_MODE = "mor"
+
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int | None = None):
         super().__init__(spark, path, n_buckets)
         self.delta_path = os.path.join(path, "delta")
         self._recover_mor()
@@ -446,7 +528,15 @@ class MorParquetMergeSink(ParquetMergeSink):
         if audit not in ("fields", "full", "lineage"):
             raise ValueError(f"unknown audit mode: {audit}")
         if batch_id in self._ledger():
+            # Same-object retry after a partial failure between the
+            # ledger commit and the publish rename: the staged delta is
+            # complete (the ledger is written after staging), so roll it
+            # forward here exactly like init-time recovery would.
+            staged = os.path.join(self.path, f"_delta_staging_batch_{batch_id}")
+            if os.path.isdir(staged):
+                self._publish_delta(staged, batch_id)
             return None
+        self._persist_layout()
         batch_df, touched = self._prepare_batch(batch_df)
         if self.exists() or self._has_deltas():
             base = self._read_buckets(touched)
@@ -479,7 +569,6 @@ class MorParquetMergeSink(ParquetMergeSink):
         self._publish_delta(staging, batch_id)
         batch_df.unpersist()
         res.unpersist()
-        self._ledger().add(batch_id)
         return res
 
     def _publish_delta(self, staging: str, batch_id: int) -> None:

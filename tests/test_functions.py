@@ -176,12 +176,23 @@ def test_ngram_df_cap_subset_and_recall(spark):
         (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
     )
     corpus = docs.select("doc_id", "text").unionByName(planted)
-    exact = {(r.a, r.b) for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()}
+    exact = {
+        (r.a, r.b)
+        for r in ngram_jaccard_pairs(corpus, threshold=0.5, df_max=None).collect()
+    }
     capped = {
         (r.a, r.b)
         for r in ngram_jaccard_pairs(corpus, threshold=0.5, df_max=20).collect()
     }
     assert capped <= exact  # subset property
+    # the DEFAULT is a finite cap (uncapped quadratic fan-out must be
+    # opted into with df_max=None); on this corpus (520 docs < 1000)
+    # the default cap never binds, so default == exact
+    import inspect
+
+    assert inspect.signature(ngram_jaccard_pairs).parameters["df_max"].default == 1000
+    default = {(r.a, r.b) for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()}
+    assert default == exact
     planted_pairs = {
         (int(r.doc_id), int(r.doc_id) + 10_000_000)
         for r in docs.filter(F.col("doc_id") % 25 == 0).select("doc_id").collect()
