@@ -195,7 +195,11 @@ def scaling_run(parallelism: int, n_events: int) -> float:
 
 
 def stream_e2e_run(
-    parallelism: int, n_events: int, n_batches: int = 4, sink_mode: str = "cow"
+    parallelism: int,
+    n_events: int,
+    n_batches: int = 4,
+    sink_mode: str = "cow",
+    auto_compact_deltas: int | None = None,
 ) -> dict:
     """End-to-end tail→commit throughput (the north metric's shape):
     stage a synthetic WAL as parquet chunks, then time readStream →
@@ -239,8 +243,15 @@ def stream_e2e_run(
         base = synth_feed(spark, n_events // 4, n_convs).drop("op", "commit_ts")
         # bucket count is a TABLE property, not a cluster property — keep
         # it fixed so scaling runs compare identical work at every level
-        sink_cls = MorParquetMergeSink if sink_mode == "mor" else ParquetMergeSink
-        sink = sink_cls(spark, os.path.join(work, "lake"), n_buckets=32)
+        if sink_mode == "mor":
+            sink = MorParquetMergeSink(
+                spark,
+                os.path.join(work, "lake"),
+                n_buckets=32,
+                auto_compact_deltas=auto_compact_deltas,
+            )
+        else:
+            sink = ParquetMergeSink(spark, os.path.join(work, "lake"), n_buckets=32)
         sink.init(base)
         t0 = time.perf_counter()
         run_stream(
@@ -252,8 +263,18 @@ def stream_e2e_run(
             audit=os.environ.get("STREAM_AUDIT", "full"),
         )
         dt = time.perf_counter() - t0
+        t_read0 = time.perf_counter()
         n_final = sink.read().count()
-        return {"sec": round(dt, 2), "events_per_sec": round(n_events / dt), "final_rows": n_final}
+        read_sec = time.perf_counter() - t_read0
+        out = {
+            "sec": round(dt, 2),
+            "events_per_sec": round(n_events / dt),
+            "final_rows": n_final,
+            "read_sec": round(read_sec, 2),
+        }
+        if sink_mode == "mor":
+            out["published_deltas"] = len(sink._delta_batch_dirs())
+        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
@@ -349,6 +370,36 @@ def main() -> None:
                     "normalized_efficiency": round(min(eff / ctl, 1.0), 3)
                     if ctl > 0
                     else None,
+                }
+            )
+        )
+        return
+    if "--mor-compaction" in sys.argv:
+        # Bounded read cost under auto-compaction: the same 20-batch MoR
+        # stream with and without the auto_compact_deltas knob. Without
+        # it the read view merges base + 20 deltas; with it the fan-in
+        # never exceeds the threshold.
+        n_events = int(os.environ.get("STREAM_EVENTS", "2000000"))
+        n_batches = int(os.environ.get("STREAM_BATCHES", "20"))
+        thresh = int(os.environ.get("AUTO_COMPACT_DELTAS", "5"))
+        runs = {
+            "no_compaction": stream_e2e_run(CPUS, n_events, n_batches=n_batches, sink_mode="mor"),
+            f"auto_compact_{thresh}": stream_e2e_run(
+                CPUS, n_events, n_batches=n_batches, sink_mode="mor",
+                auto_compact_deltas=thresh,
+            ),
+        }
+        base = runs["no_compaction"]["read_sec"]
+        comp = runs[f"auto_compact_{thresh}"]["read_sec"]
+        print(
+            json.dumps(
+                {
+                    "metric": "MoR read-cost bound from auto-compaction (20-batch stream)",
+                    "value": round(base / comp, 2) if comp > 0 else None,
+                    "unit": "x read speedup",
+                    "n_events": n_events,
+                    "n_batches": n_batches,
+                    "runs": runs,
                 }
             )
         )

@@ -50,12 +50,18 @@ def _make_sink(spark, args) -> ParquetMergeSink:
     # sink mode + bucket count are TABLE properties persisted at init;
     # flags are only honored for a brand-new table and validated (raise
     # on mismatch) against an existing one — see sink_parquet.open_sink.
-    return open_sink(
+    sink = open_sink(
         spark,
         args.table,
         sink_mode=getattr(args, "sink", None),
         n_buckets=getattr(args, "buckets", None),
     )
+    auto = getattr(args, "auto_compact_deltas", None)
+    if auto is not None:
+        if not isinstance(sink, MorParquetMergeSink):
+            raise SystemExit("--auto-compact-deltas applies only to merge-on-read tables")
+        sink.auto_compact_deltas = auto
+    return sink
 
 
 def _merge_opts(args) -> dict:
@@ -236,6 +242,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--evolved", action="store_true", help="read the additive v2 schema (tool_meta)")
     p.add_argument("--sink", choices=["cow", "mor"], default=None, help="sink mode for a BRAND-NEW table (default cow); existing tables use their persisted mode and a conflicting value raises")
     p.add_argument("--audit", choices=["fields", "full", "lineage"], default="full", help="'fields' adds the per-field old/new diff table; 'lineage' sheds the per-change routed audit for max throughput (~25%% of batch cost)")
+    p.add_argument("--auto-compact-deltas", type=int, default=None, help="MoR only: fold deltas into the base whenever this many batches are published (bounds read-side merge fan-in)")
     _add_merge_flags(p)
     p.set_defaults(fn=cmd_stream)
 

@@ -77,3 +77,50 @@ def stratified_cap(df, group_col, order_col, quota: int):
         .filter(F.col("_rn") <= quota)
         .drop("_rn")
     )
+
+
+def pack_contexts(
+    df,
+    n_tokens_col: str,
+    id_col: str = "doc_id",
+    ctx_size: int = 512,
+    n_shards: int = 8,
+    salt: str = "pack",
+):
+    """Concat-and-chunk sequence packing — the batch-prep step that
+    turns a document corpus into fixed-size training contexts: docs are
+    concatenated in a deterministic order and chunked every
+    ``ctx_size`` tokens; each doc is assigned the context its first
+    token lands in, plus its offset inside that context.
+
+    Scale shape: a single global running sum would serialize the whole
+    corpus through one window partition, so docs are hash-sharded
+    first (stable: the shard of a doc never changes as the corpus
+    grows) and the running sum is per-shard — n_shards independent
+    window partitions, each a partial-aggregated sort. At 100 TB set
+    n_shards ≈ cluster parallelism; context ids are (shard, ctx_idx)
+    pairs so no cross-shard coordination exists.
+
+    Returns: (id, shard, ctx_idx, ctx_offset, n_tokens) — one row per
+    doc; a downstream exploder can materialize per-context rows.
+    """
+    from pyspark.sql import Window
+
+    shard = (
+        F.pmod(
+            md5int(F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string"))),
+            F.lit(n_shards),
+        )
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(id_col)
+    start = F.sum(F.col(n_tokens_col)).over(w) - F.col(n_tokens_col)
+    return (
+        df.withColumn("shard", shard)
+        .select(
+            id_col,
+            "shard",
+            F.floor(start / ctx_size).cast("long").alias("ctx_idx"),
+            (start % ctx_size).cast("long").alias("ctx_offset"),
+            F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        )
+    )

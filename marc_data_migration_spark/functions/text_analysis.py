@@ -83,8 +83,12 @@ def n_bpe_tokens(col: Column | str) -> Column:
 
 
 def quality_features(col: Column | str) -> dict[str, Column]:
-    """Length / punctuation / stopword-ratio quality signals
-    (deterministic ratios of small-int counts — cross-engine exact)."""
+    """Length / punctuation / stopword-ratio quality signals plus the
+    Gopher-style repetition rules (frac_unique_tokens, top_token_ratio
+    — the "fraction of duplicated content" family used by production
+    pretraining filters). All deterministic ratios of small-int counts
+    — cross-engine exact. The per-distinct-token count scan is
+    O(unique × tokens) per row — document-bounded CPU, no shuffle."""
     c = F.col(col) if isinstance(col, str) else col
     toks = tokens(F.lower(c))
     nt = F.size(toks)
@@ -92,6 +96,10 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
     n_chars = F.length(c)
+    uniq = F.array_distinct(toks)
+    top_count = F.array_max(
+        F.transform(uniq, lambda d: F.size(F.filter(toks, lambda t: t == d)))
+    )
     return {
         "n_chars": n_chars.cast("long"),
         "n_tokens": nt.cast("long"),
@@ -100,7 +108,46 @@ def quality_features(col: Column | str) -> dict[str, Column]:
         "avg_token_len": F.round(
             (n_chars - nt + 1).cast("double") / F.greatest(nt, F.lit(1)), 4
         ),
+        "frac_unique_tokens": F.round(
+            F.size(uniq).cast("double") / F.greatest(nt, F.lit(1)), 4
+        ),
+        "top_token_ratio": F.round(
+            F.coalesce(top_count, F.lit(0)).cast("double") / F.greatest(nt, F.lit(1)), 4
+        ),
     }
+
+
+# PII redaction rules, applied in ORDER (email/IP before the digit
+# rules so address digits are consumed first; <ID> before <PHONE> so a
+# 3-2-4 SSN shape is never half-eaten by the phone pattern). Patterns
+# restricted to syntax with identical semantics in Java regex (Spark)
+# and RE2 (DuckDB) — character classes, bounded repeats, \b — so the
+# oracle can run the very same patterns.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("id", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+    ("phone", r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub PII spans (training-data hygiene pass): email addresses,
+    IPv4 addresses, SSN-shaped ids, phone numbers → typed placeholder
+    tokens. Pure Catalyst regexp_replace chain — JVM-side, codegen'd,
+    no shuffle; the operator is a projection and composes with any
+    pipeline stage."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_RULES:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_flags(col: Column | str) -> dict[str, Column]:
+    """Pre-redaction detection flags (one INT column per rule) — the
+    audit side-channel a scrubbing pass reports on."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {f"has_{name}": c.rlike(pat).cast("int") for name, pat, _ in PII_RULES}
 
 
 def fingerprint(norm_col: Column | str) -> Column:

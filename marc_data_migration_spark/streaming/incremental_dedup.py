@@ -1,0 +1,112 @@
+"""Batch-incremental MinHash-LSH near-dup filter for an arriving
+document stream — the streaming face of the dedup family
+(operators/text_dedup.py gives the batch face).
+
+A corpus pipeline that ingests documents continuously cannot re-run
+batch LSH over the full corpus per batch; the standard production
+shape is an *accumulating signature index*: each micro-batch's docs
+are banded (band_hashes — same signatures, same banding as the batch
+operator), probed against the index of every previously KEPT doc's
+bands, and only collision-free docs survive and publish their bands.
+
+Semantics (deliberately conservative, the industry norm for streaming
+dedup): a doc is DROPPED when any of its band-hashes collides with
+ (a) a band published by a kept doc of an earlier batch, or
+ (b) a surviving lower-id doc in its own batch (min-id wins per
+     bucket; a doc beaten in any bucket is dropped, and — unlike the
+     batch connected-components decision — a doc whose only collider
+     was itself dropped still goes: chains over-drop slightly, they
+     never under-drop). Kept set invariant: NO two kept docs across
+the whole stream share a band-hash (test-pinned), which is exactly
+the guarantee batch LSH + keep-one-per-component provides pairwise.
+
+Scale shape: the index is a bucketed parquet table of slim
+(band, bh, batch_id) rows — O(kept docs × n_bands) longs. The probe
+is an equi-join on (band, bh); at 100 TB the index is bucketed by bh
+so the join co-locates. Exactly-once: the index carries batch_id; a
+replayed batch filters the index to STRICTLY EARLIER batches before
+probing (so its own published rows don't drop its docs) and skips
+re-publishing — apply_batch is idempotent per batch_id.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.text_dedup import band_hashes, minhash_signatures
+
+BANDS_SCHEMA = "band int, bh long, doc_id long, batch_id long"
+
+
+class IncrementalLshDedup:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.index_path = os.path.join(path, "band_index")
+
+    def _index(self) -> DataFrame:
+        if not os.path.isdir(self.index_path):
+            return self.spark.createDataFrame([], BANDS_SCHEMA)
+        return self.spark.read.parquet(self.index_path)
+
+    def applied_batch_ids(self) -> set[int]:
+        rows = self._index().select("batch_id").distinct().collect()
+        return {r.batch_id for r in rows}
+
+    def apply_batch(
+        self, docs: DataFrame, batch_id: int, text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Filter one micro-batch; returns the kept docs (all columns of
+        ``docs``) and publishes their bands. Idempotent per batch_id."""
+        replay = batch_id in self.applied_batch_ids()
+        # strictly-earlier index slice: on replay, the batch's own
+        # published bands must not count as "seen" against itself
+        seen = self._index().filter(F.col("batch_id") < batch_id).select("band", "bh")
+        bands = band_hashes(
+            minhash_signatures(docs, text_col=text_col, id_col=id_col), id_col=id_col
+        ).persist()
+        try:
+            # (a) cross-batch collisions: any band seen before kills the doc
+            cross = (
+                bands.join(seen, ["band", "bh"])
+                .select(F.col(id_col))
+                .distinct()
+            )
+            fresh = bands.join(cross, id_col, "left_anti")
+            # (b) within-batch: min-id wins per bucket; a doc beaten in
+            # ANY bucket is dropped (conservative vs connected components
+            # — see module docstring)
+            w = Window.partitionBy("band", "bh")
+            losers = (
+                fresh.withColumn("_wmin", F.min(id_col).over(w))
+                .filter(F.col(id_col) != F.col("_wmin"))
+                .select(F.col(id_col))
+                .distinct()
+            )
+            kept_bands = fresh.join(losers, id_col, "left_anti")
+            if not replay:
+                (
+                    kept_bands.withColumn("batch_id", F.lit(batch_id).cast("long"))
+                    .select("band", "bh", id_col, "batch_id")
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(self.index_path)
+                )
+            # keep = docs minus the dropped sets. NOT a semi-join on
+            # kept_bands: a doc too short to shingle has no bands at
+            # all — it cannot collide and must pass through.
+            return docs.join(cross, id_col, "left_anti").join(
+                losers, id_col, "left_anti"
+            )
+        finally:
+            bands.unpersist()
+
+    def kept_ids(self) -> DataFrame:
+        """Ids of signature-bearing docs kept so far (distinct over the
+        published index; docs too short to shingle publish no bands and
+        are not recorded here)."""
+        return self._index().select("doc_id").distinct()

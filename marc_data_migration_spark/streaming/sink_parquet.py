@@ -451,8 +451,25 @@ class MorParquetMergeSink(ParquetMergeSink):
 
     SINK_MODE = "mor"
 
-    def __init__(self, spark: SparkSession, path: str, n_buckets: int | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int | None = None,
+        auto_compact_deltas: int | None = None,
+    ):
+        """``auto_compact_deltas`` — scheduled-maintenance knob (Iceberg's
+        rewrite_data_files analogue, run inline): when the published
+        delta-batch count reaches this threshold after a commit, fold
+        all deltas into the bucketed base. Bounds the read-side merge
+        fan-in of a long-lived stream at ``threshold`` deltas; None
+        (default) leaves compaction to an explicit compact_data() call.
+        An operational knob, not a table-layout property — safe to vary
+        per run."""
         super().__init__(spark, path, n_buckets)
+        if auto_compact_deltas is not None and auto_compact_deltas < 1:
+            raise ValueError("auto_compact_deltas must be >= 1")
+        self.auto_compact_deltas = auto_compact_deltas
         self.delta_path = os.path.join(path, "delta")
         self._recover_mor()
 
@@ -569,6 +586,15 @@ class MorParquetMergeSink(ParquetMergeSink):
         self._publish_delta(staging, batch_id)
         batch_df.unpersist()
         res.unpersist()
+        # 4. scheduled maintenance: the batch is fully committed (ledger
+        #    + published), so a crash inside compaction is the already-
+        #    covered compact_data crash window — never an exactly-once
+        #    hazard. Keeps a long stream's read fan-in bounded.
+        if (
+            self.auto_compact_deltas is not None
+            and len(self._delta_batch_dirs()) >= self.auto_compact_deltas
+        ):
+            self.compact_data()
         return res
 
     def _publish_delta(self, staging: str, batch_id: int) -> None:

@@ -443,3 +443,131 @@ def test_connected_components_raises_on_nonconvergence(spark):
         connected_components(chain, max_iter=3)
     out = connected_components(chain, max_iter=15).collect()
     assert {r.component for r in out} == {0}
+
+
+def test_minhash_lsh_recall_on_perturbed_text(spark):
+    """Band-count is MinHash-LSH's recall lever (the text-side mirror of
+    the embedding family's n_tables): plant token-level-perturbed
+    near-dups (every 8th token replaced → shingle-jaccard ≈ 0.45) and
+    pin pair recall across the band sweep. Theory: P(candidate) =
+    1-(1-s^r)^b with r = 8//b rows per band — measured 0.0/0.1/0.62/1.0
+    at b=1/2/4/8, matching. The default config (4 bands of 2) trades
+    ~0.6 recall on this perturbation level for a 2-row AND that keeps
+    uncorrelated docs out of the candidate join; b=8 (r=1, OR-only)
+    recovers every planted pair. Fully deterministic (md5 minhashes,
+    fixed corpus) — floors carry safety margin anyway."""
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.operators.text_dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    perturb = F.concat_ws(
+        " ",
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w, i: F.when(
+                i % 8 == 7, F.concat(F.lit("zqx"), i.cast("string"))
+            ).otherwise(w),
+        ),
+    )
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), perturb.alias("text")
+    )
+    n_planted = planted.count()
+    corpus = docs.unionByName(planted)
+    sigs = minhash_signatures(corpus).persist()
+    try:
+        recalls = {}
+        for nb in (2, 4, 8):
+            pairs = lsh_candidate_pairs(sigs, n_bands=nb)
+            hit = pairs.filter(
+                (F.col("b") - F.col("a") == 10_000_000) & (F.col("a") % 10 == 0)
+            ).count()
+            recalls[nb] = hit / n_planted
+    finally:
+        sigs.unpersist()
+    assert recalls[2] <= recalls[4] <= recalls[8]  # the lever is monotone
+    assert recalls[4] >= 0.5  # default band config floor
+    assert recalls[8] >= 0.9  # OR-only config recovers ~all planted dups
+
+
+def test_redact_pii_and_flags(spark):
+    from marc_data_migration_spark.functions.text_analysis import pii_flags, redact_pii
+
+    rows = [
+        ("mail bob.smith+x@foo-bar.co.uk end", "mail <EMAIL> end", 1, 0, 0, 0),
+        ("ip 192.168.0.1 here", "ip <IP> here", 0, 1, 0, 0),
+        ("ssn 123-45-6789 ok", "ssn <ID> ok", 0, 0, 1, 0),
+        ("call +1-555-0042 now", "call <PHONE> now", 0, 0, 0, 1),
+        # ID shape must never be half-eaten by the phone rule
+        ("x 999-88-7777 y", "x <ID> y", 0, 0, 1, 0),
+        ("clean text stays", "clean text stays", 0, 0, 0, 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, *_ in rows], "t string")
+    flags = pii_flags("t")
+    got = df.select(
+        redact_pii("t").alias("c"), *[flags[k].alias(k) for k in flags]
+    ).collect()
+    for (t, want, e, i, d, p), r in zip(rows, got):
+        assert r.c == want, (t, r.c)
+        assert (r.has_email, r.has_ip, r.has_id, r.has_phone) == (e, i, d, p), t
+
+
+def test_decontaminate_flags_planted_leaks(spark):
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.operators.text_dedup import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 12)).alias(
+            "text"
+        ),
+    )
+    out = decontaminate(docs, bench, k=8).toPandas().set_index("doc_id")
+    planted = {r.bench_id for r in bench.select("bench_id").collect()}
+    # every doc whose prefix leaked into the benchmark is flagged...
+    assert planted <= set(out.index)
+    # ...sharing >=1 8-gram (not all 5 prefix shingles necessarily:
+    # normalize_text's stop-word rule needs a token on BOTH sides, so a
+    # stop-word at the 12-token boundary is dropped in the full doc but
+    # survives at the end of the truncated benchmark prefix)
+    for p in planted:
+        assert out.loc[p].n_bench_docs >= 1
+        assert out.loc[p].n_shared_shingles >= 1
+
+
+def test_pack_contexts_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.functions.sampling import pack_contexts
+    from marc_data_migration_spark.functions.text_analysis import n_tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    d = docs.select("doc_id", n_tokens("text").alias("nt"))
+    out = pack_contexts(d, "nt", ctx_size=512, n_shards=8).toPandas()
+    assert len(out) == d.count()  # one row per doc, none lost
+    assert (out.ctx_offset < 512).all() and (out.ctx_offset >= 0).all()
+    assert set(out.shard) <= set(range(8))
+    for _, grp in out.sort_values("doc_id").groupby("shard"):
+        # within a shard, docs tile the concatenated token stream exactly:
+        # each doc starts where the previous one ended
+        starts = (grp.ctx_idx * 512 + grp.ctx_offset).to_numpy()
+        ends = starts + grp.n_tokens.to_numpy()
+        assert starts[0] == 0
+        assert (starts[1:] == ends[:-1]).all()
+    # determinism + growth-stability: re-running on a SUBSET never moves
+    # a doc to another shard (hash sharding, not row-order sharding)
+    sub = pack_contexts(
+        d.filter(F.col("doc_id") % 2 == 0), "nt", ctx_size=512, n_shards=8
+    ).toPandas()
+    merged = sub.merge(out, on="doc_id", suffixes=("_sub", "_full"))
+    assert (merged.shard_sub == merged.shard_full).all()

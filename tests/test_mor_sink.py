@@ -199,3 +199,41 @@ def test_mor_crash_before_publish_no_duplicate_audits(spark, tmp_path):
     # replay of the ledgered batch is a no-op: no second audit append
     assert reopened.apply_merge(batch, batch_id=0, audit="full") is None
     assert spark.read.parquet(reopened.routed_path).count() == routed_once
+
+
+def test_mor_auto_compaction_bounds_delta_count(spark, tmp_path):
+    """A long stream with auto_compact_deltas=k must never hold more
+    than k published delta batches (the read-side merge fan-in stays
+    bounded — Iceberg's scheduled rewrite_data_files analogue), while
+    the final state still equals the single-threaded replay oracle."""
+    base_pd = feedgen.gen_transcripts(n_convs=20, seed=9)
+    ch_pd = feedgen.gen_changes("upsert", n_events=600, n_convs=20, seed=9)
+    ch_pd = ch_pd.sort_values("lsn").reset_index(drop=True)
+    sink = MorParquetMergeSink(
+        spark, str(tmp_path / "target"), n_buckets=8, auto_compact_deltas=3
+    )
+    sink.init(spark.createDataFrame(base_pd))
+
+    observed = {"max_deltas": 0, "compactions": 0}
+    orig_apply = sink.apply_merge
+    orig_compact = sink.compact_data
+
+    def watched_apply(*a, **kw):
+        r = orig_apply(*a, **kw)
+        observed["max_deltas"] = max(observed["max_deltas"], len(sink._delta_batch_dirs()))
+        return r
+
+    def watched_compact():
+        observed["compactions"] += 1
+        return orig_compact()
+
+    sink.apply_merge = watched_apply
+    sink.compact_data = watched_compact
+
+    stage_feed_chunks(_chunks(ch_pd, 12), str(tmp_path / "feed"))
+    run_stream(spark, str(tmp_path / "feed"), sink, str(tmp_path / "ckpt"))
+
+    assert observed["compactions"] >= 2  # the threshold actually fired
+    assert observed["max_deltas"] < 3  # never k or more left published
+    assert len(sink._delta_batch_dirs()) < 3
+    assert _final_text(sink.read()) == _oracle_state(base_pd, ch_pd)

@@ -19,6 +19,7 @@ import __spark_entry__ as entry  # noqa: E402
 from marc_data_migration_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -45,7 +46,7 @@ def _norm(v) -> str:
 
 
 def main(only: list[str]) -> int:
-    spark = get_spark("oracle-check", parallelism=8, shuffle_partitions=8)
+    spark = get_spark("oracle-check", parallelism=CPUS, shuffle_partitions=CPUS)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
