@@ -14,10 +14,21 @@ from __future__ import annotations
 
 import json
 import multiprocessing as mp
+import os
 import sys
 import time
 
-import numpy as np
+# Pin BLAS to ONE thread per worker: this container's OpenBLAS runs up
+# to 2 threads per matmul, so an unpinned 4-process leg secretly used 8
+# compute threads — halving the measurable 4→16 gap and making the
+# "process scaling" control structurally pessimistic (~0.5 ceiling on
+# 16 physical cores) independent of any throttling. The env var must be
+# set before numpy loads, so workers use a SPAWN context (fresh
+# interpreters inherit it); spawn cost sits outside the timed window.
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
+import numpy as np  # noqa: E402
 
 
 def _worker(n_iter: int) -> float:
@@ -29,11 +40,19 @@ def _worker(n_iter: int) -> float:
     return acc
 
 
-def run_level(n_procs: int, total_iter: int = 4800) -> float:
-    t0 = time.perf_counter()
-    with mp.Pool(n_procs) as pool:
+def run_level(n_procs: int, total_iter: int = 12000) -> float:
+    """Pool creation is EXCLUDED from the timed window: at ~16 procs
+    process spawn costs a few hundred ms, which at the original 4800
+    iterations (well under 1s of work on an unthrottled host) could
+    dominate the high-parallelism leg and make the control report
+    scaling that said nothing about the CPU. 2.5× the work + a
+    pre-created, warmed pool keeps the measured region compute-only."""
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(n_procs) as pool:
+        pool.map(_worker, [8] * n_procs)  # warm the workers
+        t0 = time.perf_counter()
         pool.map(_worker, [total_iter // n_procs] * n_procs)
-    return time.perf_counter() - t0
+        return time.perf_counter() - t0
 
 
 def control_efficiency(lo: int, hi: int, rounds: int = 3) -> dict:
