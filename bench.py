@@ -50,7 +50,9 @@ def _sf(sf_dir: str) -> float:
         return -1.0
 
 
-def run_suite(parallelism: int, sf_dir: str) -> tuple[dict[str, float], int]:
+def run_suite(
+    parallelism: int, sf_dir: str
+) -> tuple[dict[str, float], dict[str, float], int]:
     spark = get_spark(f"bench-{parallelism}", parallelism=parallelism)
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     # Warm one-time session costs (JVM codegen, shuffle machinery, and

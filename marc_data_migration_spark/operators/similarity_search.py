@@ -91,7 +91,17 @@ def _check_dim(
         row = df.select(
             F.min(F.size(F.col(vec_col))).alias("lo"),
             F.max(F.size(F.col(vec_col))).alias("hi"),
+            # min/max SKIP nulls — count them separately or a corpus of
+            # null vectors would sail through the "strict" check and
+            # hit exactly the bucket-0 failure this guard exists for
+            F.sum(F.col(vec_col).isNull().cast("long")).alias("n_null"),
         ).first()
+        if row is not None and (row.n_null or 0) > 0:
+            raise ValueError(
+                f"{op}: {row.n_null} null {vec_col} vectors — null rows "
+                "null-propagate through the dot product and bucket to 0 "
+                "(a disguised cross join); filter them out first"
+            )
         if row is not None and row.lo is not None and not (row.lo == row.hi == dim):
             raise ValueError(
                 f"{op}: embedding lengths range [{row.lo}, {row.hi}], "

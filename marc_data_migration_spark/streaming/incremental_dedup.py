@@ -46,6 +46,7 @@ class IncrementalLshDedup:
         self.spark = spark
         self.path = path
         self.index_path = os.path.join(path, "band_index")
+        self._prev_bands = None  # double-buffered band cache (see apply_batch)
 
     def _index(self) -> DataFrame:
         if not os.path.isdir(self.index_path):
@@ -61,49 +62,55 @@ class IncrementalLshDedup:
         id_col: str = "doc_id",
     ) -> DataFrame:
         """Filter one micro-batch; returns the kept docs (all columns of
-        ``docs``) and publishes their bands. Idempotent per batch_id."""
+        ``docs``) and publishes their bands. Idempotent per batch_id.
+
+        ``id_col`` is normalized to the index's canonical ``doc_id``
+        column on the way in (and back on the way out) — the published
+        index always carries ``doc_id`` regardless of caller naming.
+        """
         replay = batch_id in self.applied_batch_ids()
+        d = docs.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else docs
         # strictly-earlier index slice: on replay, the batch's own
         # published bands must not count as "seen" against itself
         seen = self._index().filter(F.col("batch_id") < batch_id).select("band", "bh")
         bands = band_hashes(
-            minhash_signatures(docs, text_col=text_col, id_col=id_col), id_col=id_col
+            minhash_signatures(d, text_col=text_col, id_col="doc_id")
         ).persist()
-        try:
-            # (a) cross-batch collisions: any band seen before kills the doc
-            cross = (
-                bands.join(seen, ["band", "bh"])
-                .select(F.col(id_col))
-                .distinct()
+        # Double-buffered cache: the PREVIOUS batch's bands are released
+        # now, when the stream has consumed its returned DataFrame — an
+        # unpersist in a finally here would force the plan this method
+        # RETURNS to recompute every signature (cross/losers reference
+        # `bands`), doubling the hot path's per-batch CPU.
+        if self._prev_bands is not None:
+            self._prev_bands.unpersist()
+        self._prev_bands = bands
+        # (a) cross-batch collisions: any band seen before kills the doc
+        cross = bands.join(seen, ["band", "bh"]).select("doc_id").distinct()
+        fresh = bands.join(cross, "doc_id", "left_anti")
+        # (b) within-batch: min-id wins per bucket; a doc beaten in
+        # ANY bucket is dropped (conservative vs connected components
+        # — see module docstring)
+        w = Window.partitionBy("band", "bh")
+        losers = (
+            fresh.withColumn("_wmin", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") != F.col("_wmin"))
+            .select("doc_id")
+            .distinct()
+        )
+        kept_bands = fresh.join(losers, "doc_id", "left_anti")
+        if not replay:
+            (
+                kept_bands.withColumn("batch_id", F.lit(batch_id).cast("long"))
+                .select("band", "bh", "doc_id", "batch_id")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(self.index_path)
             )
-            fresh = bands.join(cross, id_col, "left_anti")
-            # (b) within-batch: min-id wins per bucket; a doc beaten in
-            # ANY bucket is dropped (conservative vs connected components
-            # — see module docstring)
-            w = Window.partitionBy("band", "bh")
-            losers = (
-                fresh.withColumn("_wmin", F.min(id_col).over(w))
-                .filter(F.col(id_col) != F.col("_wmin"))
-                .select(F.col(id_col))
-                .distinct()
-            )
-            kept_bands = fresh.join(losers, id_col, "left_anti")
-            if not replay:
-                (
-                    kept_bands.withColumn("batch_id", F.lit(batch_id).cast("long"))
-                    .select("band", "bh", id_col, "batch_id")
-                    .coalesce(1)
-                    .write.mode("append")
-                    .parquet(self.index_path)
-                )
-            # keep = docs minus the dropped sets. NOT a semi-join on
-            # kept_bands: a doc too short to shingle has no bands at
-            # all — it cannot collide and must pass through.
-            return docs.join(cross, id_col, "left_anti").join(
-                losers, id_col, "left_anti"
-            )
-        finally:
-            bands.unpersist()
+        # keep = docs minus the dropped sets. NOT a semi-join on
+        # kept_bands: a doc too short to shingle has no bands at
+        # all — it cannot collide and must pass through.
+        kept = d.join(cross, "doc_id", "left_anti").join(losers, "doc_id", "left_anti")
+        return kept.withColumnRenamed("doc_id", id_col) if id_col != "doc_id" else kept
 
     def kept_ids(self) -> DataFrame:
         """Ids of signature-bearing docs kept so far (distinct over the

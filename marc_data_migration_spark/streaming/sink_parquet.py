@@ -459,13 +459,14 @@ class MorParquetMergeSink(ParquetMergeSink):
         auto_compact_deltas: int | None = None,
     ):
         """``auto_compact_deltas`` — scheduled-maintenance knob (Iceberg's
-        rewrite_data_files analogue, run inline): when the published
-        delta-batch count reaches this threshold after a commit, fold
-        all deltas into the bucketed base. Bounds the read-side merge
-        fan-in of a long-lived stream at ``threshold`` deltas; None
-        (default) leaves compaction to an explicit compact_data() call.
-        An operational knob, not a table-layout property — safe to vary
-        per run."""
+        rewrite_data_files analogue, run inline): at the start of each
+        batch, if the published delta count has reached this threshold,
+        all deltas are folded into the bucketed base before the batch
+        reads the view. Bounds the read-side merge fan-in of a
+        long-lived stream at ``threshold`` deltas; None (default)
+        leaves compaction to an explicit compact_data() call. An
+        operational knob, not a table-layout property — safe to vary
+        per run. Must be >= 1."""
         super().__init__(spark, path, n_buckets)
         if auto_compact_deltas is not None and auto_compact_deltas < 1:
             raise ValueError("auto_compact_deltas must be >= 1")
@@ -554,6 +555,17 @@ class MorParquetMergeSink(ParquetMergeSink):
                 self._publish_delta(staged, batch_id)
             return None
         self._persist_layout()
+        # Scheduled maintenance for deltas accumulated by PREVIOUS
+        # batches, run BEFORE this batch reads the view: folding here
+        # both bounds the merge fan-in this batch pays and keeps the
+        # returned MergeResult valid — compacting after the return
+        # value was built would delete delta files its lazy plans still
+        # reference (FileNotFound on any post-return evaluation).
+        if (
+            self.auto_compact_deltas is not None
+            and len(self._delta_batch_dirs()) >= self.auto_compact_deltas
+        ):
+            self.compact_data()
         batch_df, touched = self._prepare_batch(batch_df)
         if self.exists() or self._has_deltas():
             base = self._read_buckets(touched)
@@ -586,15 +598,6 @@ class MorParquetMergeSink(ParquetMergeSink):
         self._publish_delta(staging, batch_id)
         batch_df.unpersist()
         res.unpersist()
-        # 4. scheduled maintenance: the batch is fully committed (ledger
-        #    + published), so a crash inside compaction is the already-
-        #    covered compact_data crash window — never an exactly-once
-        #    hazard. Keeps a long stream's read fan-in bounded.
-        if (
-            self.auto_compact_deltas is not None
-            and len(self._delta_batch_dirs()) >= self.auto_compact_deltas
-        ):
-            self.compact_data()
         return res
 
     def _publish_delta(self, staging: str, batch_id: int) -> None:

@@ -571,3 +571,27 @@ def test_pack_contexts_invariants(spark):
     ).toPandas()
     merged = sub.merge(out, on="doc_id", suffixes=("_sub", "_full"))
     assert (merged.shard_sub == merged.shard_full).all()
+
+
+def test_check_dim_strict_catches_ragged_and_null(spark):
+    """strict=True must catch BOTH a ragged corpus (later rows with a
+    different embedding length — the single-row probe misses them) and
+    null vectors (min/max skip nulls, so they need their own count)."""
+    import pytest
+
+    from marc_data_migration_spark.operators.similarity_search import _check_dim
+
+    ok = spark.createDataFrame(
+        [(1, [0.1] * 4), (2, [0.2] * 4)], "vec_id long, embedding array<double>"
+    )
+    _check_dim(ok, "embedding", 4, "t", strict=True)  # no raise
+    ragged = ok.union(
+        spark.createDataFrame([(3, [0.1] * 3)], "vec_id long, embedding array<double>")
+    )
+    with pytest.raises(ValueError, match="lengths range"):
+        _check_dim(ragged, "embedding", 4, "t", strict=True)
+    nullv = ok.union(
+        spark.createDataFrame([(3, None)], "vec_id long, embedding array<double>")
+    )
+    with pytest.raises(ValueError, match="null"):
+        _check_dim(nullv, "embedding", 4, "t", strict=True)
