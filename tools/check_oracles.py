@@ -2,7 +2,9 @@
 __spark_entry__ query at sf0.01 in Spark AND its oracle SQL in DuckDB,
 compare row count + column names + order-insensitive value hash.
 
-Usage: python tools/check_oracles.py [query ...]
+Usage: python tools/check_oracles.py [--window] [query ...]
+  --window   check only the first 50 queries() entries — exactly the
+             slice the external correctness driver records
 """
 
 from __future__ import annotations
@@ -53,8 +55,11 @@ def main(only: list[str]) -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = 0
-    for name, fn in qs.items():
-        if only and name not in only:
+    for i, (name, fn) in enumerate(qs.items()):
+        if only == ["--window"]:
+            if i >= 50:
+                break
+        elif only and name not in only:
             continue
         try:
             got = fn(spark, SF_DIR).toPandas()
