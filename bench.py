@@ -349,12 +349,19 @@ def main() -> None:
         n_events = int(os.environ.get("STREAM_EVENTS", "2000000"))
         n_batches = int(os.environ.get("STREAM_BATCHES", "2"))
         rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
+        sink_mode = os.environ.get("STREAM_SINK", "cow")
         lo, hi = max(CPUS // 4, 1), CPUS
         ctl_before = control_efficiency(lo, hi, rounds=2)
         t_lo, t_hi = float("inf"), float("inf")
         for _ in range(rounds):
-            t_lo = min(t_lo, stream_e2e_run(lo, n_events, n_batches=n_batches)["sec"])
-            t_hi = min(t_hi, stream_e2e_run(hi, n_events, n_batches=n_batches)["sec"])
+            t_lo = min(
+                t_lo,
+                stream_e2e_run(lo, n_events, n_batches=n_batches, sink_mode=sink_mode)["sec"],
+            )
+            t_hi = min(
+                t_hi,
+                stream_e2e_run(hi, n_events, n_batches=n_batches, sink_mode=sink_mode)["sec"],
+            )
         ctl_after = control_efficiency(lo, hi, rounds=2)
         thr_lo, thr_hi = n_events / t_lo, n_events / t_hi
         eff = (thr_hi / thr_lo) / (hi / lo)
