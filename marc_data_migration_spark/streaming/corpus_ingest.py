@@ -1,0 +1,136 @@
+"""Streaming corpus ingestion — the streaming face of the
+`corpus_curation` batch flagship: documents arriving as a stream are
+quality-gated, PII-scrubbed, near-dup-filtered against EVERYTHING
+already ingested, and appended to a growing corpus table with
+per-batch metrics. This is the shape a production training-data
+pipeline actually runs at 100 TB: the corpus accretes continuously;
+re-running batch curation over the full corpus per arrival is not an
+option.
+
+Per micro-batch (foreachBatch):
+1. quality gate  — Catalyst-only `quality_features` thresholds
+   (min tokens, max top_token_ratio: the Gopher repetition rule);
+2. PII scrub     — `redact_pii` projection (kept docs are stored
+   scrubbed; the corpus never contains raw PII);
+3. near-dup gate — `IncrementalLshDedup.apply_batch`: collision
+   against ANY previously kept doc's band index drops the doc
+   (conservative min-id-wins within the batch);
+4. commit        — kept docs land in `docs/batch_id=N/` (dynamic
+   partition overwrite → rewriting the same batch is byte-idempotent)
+   and one metrics row (n_in, n_low_quality, n_dups, n_kept) lands in
+   `metrics/batch_id=N/`.
+
+Exactly-once: every per-batch artifact is keyed by batch_id —
+the dedup band index skips re-publish on replay (strictly-earlier
+probe semantics), and the docs/metrics partitions are overwritten
+in place — so a replayed batch converges to the identical on-disk
+state no matter where the previous attempt died.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text_analysis import quality_features, redact_pii
+from .incremental_dedup import IncrementalLshDedup
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+class CorpusIngest:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        min_tokens: int = 30,
+        max_top_token_ratio: float = 0.5,
+    ):
+        self.spark = spark
+        self.path = path
+        self.docs_path = os.path.join(path, "docs")
+        self.metrics_path = os.path.join(path, "metrics")
+        self.dedup = IncrementalLshDedup(spark, path)
+        self.min_tokens = min_tokens
+        self.max_top_token_ratio = max_top_token_ratio
+
+    # -- one micro-batch ---------------------------------------------------
+    def apply_batch(self, docs: DataFrame, batch_id: int) -> None:
+        n_in = docs.count()
+        feats = quality_features("text")
+        good = docs.filter(
+            (feats["n_tokens"] >= self.min_tokens)
+            & (feats["top_token_ratio"] <= self.max_top_token_ratio)
+        )
+        # scrub BEFORE dedup so the published band index and the stored
+        # corpus describe the same text
+        clean = good.select("doc_id", redact_pii("text").alias("text"))
+        n_good = clean.count()
+        kept = self.dedup.apply_batch(clean, batch_id).persist()
+        n_kept = kept.count()
+        (
+            kept.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .coalesce(4)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.docs_path)
+        )
+        kept.unpersist()
+        metrics = self.spark.createDataFrame(
+            [
+                (
+                    batch_id,
+                    n_in,
+                    n_in - n_good,
+                    n_good - n_kept,
+                    n_kept,
+                )
+            ],
+            "batch_id long, n_in long, n_low_quality long, n_dups long, n_kept long",
+        )
+        (
+            metrics.coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.metrics_path)
+        )
+
+    # -- views ----------------------------------------------------------------
+    def corpus(self) -> DataFrame:
+        if not os.path.isdir(self.docs_path):
+            return self.spark.createDataFrame([], DOCS_SCHEMA + ", batch_id long")
+        return self.spark.read.parquet(self.docs_path)
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(self.metrics_path)
+
+
+def run_corpus_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    ingest: CorpusIngest,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Tail a staged directory of document parquet chunks through the
+    ingestion pipeline. availableNow semantics like run_stream: drains
+    what exists, returns; same checkpoint resumes exactly-once."""
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: ingest.apply_batch(df, bid)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
