@@ -39,6 +39,12 @@ HEADLINE = [
     "embedding_neardup_pairs",
     "windowed_metrics",
     "ivf_ann_topk",
+    # round-3 additions — tracked from their first round so later rounds
+    # have a per-query series (suite total is NOT comparable across the
+    # round a query enters; the per-query numbers are)
+    "pii_redaction",
+    "decontam_overlap",
+    "pack_contexts",
 ]
 
 
