@@ -130,6 +130,7 @@ def cmd_stream(args) -> None:
         salt_buckets=args.salt_buckets,
         transform=transform,
         audit=args.audit,
+        feed_format=args.feed_format,
         **_merge_opts(args),
     )
     lineage = sink.lineage()
@@ -175,6 +176,47 @@ def cmd_compact(args) -> None:
     if isinstance(sink, MorParquetMergeSink):
         out["delta_batches_folded"] = sink.compact_data()
     print(json.dumps(out))
+
+
+def cmd_ingest(args) -> None:
+    """Streaming corpus ingestion: tail a directory of document parquet
+    chunks through quality gate → PII scrub → incremental near-dup
+    filter → idempotent batch-keyed append (streaming/corpus_ingest.py)."""
+    from marc_data_migration_spark.streaming.corpus_ingest import (
+        CorpusIngest,
+        run_corpus_stream,
+    )
+
+    spark = get_spark("corpus-ingest", parallelism=args.cpus)
+    ingest = CorpusIngest(
+        spark,
+        args.corpus,
+        min_tokens=args.min_tokens,
+        max_top_token_ratio=args.max_top_token_ratio,
+    )
+    run_corpus_stream(
+        spark,
+        args.feed_dir,
+        ingest,
+        args.checkpoint,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    m = ingest.metrics().agg(
+        F.sum("n_in").alias("n_in"),
+        F.sum("n_low_quality").alias("n_low_quality"),
+        F.sum("n_dups").alias("n_dups"),
+        F.sum("n_kept").alias("n_kept"),
+        F.countDistinct("batch_id").alias("batches"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "corpus": args.corpus,
+                "corpus_rows": ingest.corpus().count(),
+                **{k: int(m[k] or 0) for k in ("n_in", "n_low_quality", "n_dups", "n_kept", "batches")},
+            }
+        )
+    )
 
 
 def cmd_report(args) -> None:
@@ -245,6 +287,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--sink", choices=["cow", "mor"], default=None, help="sink mode for a BRAND-NEW table (default cow); existing tables use their persisted mode and a conflicting value raises")
     p.add_argument("--audit", choices=["fields", "full", "lineage"], default="full", help="'fields' adds the per-field old/new diff table; 'lineage' sheds the per-change routed audit for max throughput (~25%% of batch cost)")
     p.add_argument("--auto-compact-deltas", type=int, default=None, help="MoR only: fold deltas into the base whenever this many batches are published (bounds read-side merge fan-in)")
+    p.add_argument("--feed-format", choices=["parquet", "json"], default="parquet", help="json = line-JSON WAL with PERMISSIVE parse; malformed lines are quarantined with their raw text")
     _add_merge_flags(p)
     p.set_defaults(fn=cmd_stream)
 
@@ -261,6 +304,15 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--out", required=True)
     _add_merge_flags(p)
     p.set_defaults(fn=cmd_apply)
+
+    p = sub.add_parser("ingest", help="streaming corpus ingestion (quality -> PII scrub -> near-dup filter -> append)")
+    p.add_argument("--feed-dir", required=True, help="directory of document parquet chunks (doc_id long, text string)")
+    p.add_argument("--corpus", required=True, help="corpus table root (docs/ metrics/ band_index/)")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--max-files-per-trigger", type=int, default=1)
+    p.add_argument("--min-tokens", type=int, default=30)
+    p.add_argument("--max-top-token-ratio", type=float, default=0.5)
+    p.set_defaults(fn=cmd_ingest)
 
     p = sub.add_parser("report", help="operational reports over the sink side outputs")
     p.add_argument("kind", choices=["route-counts", "dup-keys", "lineage", "conflicts"])

@@ -32,19 +32,25 @@ from .sink_parquet import ParquetMergeSink
 
 
 def stage_feed_chunks(
-    chunks: list[pd.DataFrame], feed_dir: str, start_at: int = 0
+    chunks: list[pd.DataFrame], feed_dir: str, start_at: int = 0,
+    fmt: str = "parquet",
 ) -> list[str]:
-    """Write pandas change-feed chunks as individual parquet files —
-    the staged WAL the file-source stream tails."""
+    """Write pandas change-feed chunks as individual files — the staged
+    WAL the file-source stream tails. ``fmt="json"`` writes line-JSON
+    (the Debezium-style text WAL the permissive parse path reads)."""
     os.makedirs(feed_dir, exist_ok=True)
     paths = []
     for i, pdf in enumerate(chunks, start=start_at):
-        p = os.path.join(feed_dir, f"chunk-{i:06d}.parquet")
         pdf = pdf.copy()
         for c in pdf.columns:  # Spark rejects pandas' ns-precision INT64
             if str(pdf[c].dtype).startswith("datetime64[ns"):
                 pdf[c] = pdf[c].astype("datetime64[us]")
-        pdf.to_parquet(p, index=False)
+        if fmt == "json":
+            p = os.path.join(feed_dir, f"chunk-{i:06d}.json")
+            pdf.to_json(p, orient="records", lines=True, date_format="iso")
+        else:
+            p = os.path.join(feed_dir, f"chunk-{i:06d}.parquet")
+            pdf.to_parquet(p, index=False)
         paths.append(p)
     return paths
 
@@ -58,6 +64,7 @@ def run_stream(
     max_files_per_trigger: int = 1,
     salt_buckets: int = 0,
     transform=None,
+    feed_format: str = "parquet",
     **merge_opts,
 ):
     """Tail `feed_dir`, applying each micro-batch through the sink's
@@ -69,10 +76,28 @@ def run_stream(
     applied to each incoming batch before the merge — the distributed
     analogue of the reference's per-record UpdatePolicy.execute
     (record_update.py:475-477); running it on the change side keeps
-    replays idempotent (a skipped batch is skipped whole)."""
+    replays idempotent (a skipped batch is skipped whole).
+
+    ``feed_format``: "parquet" (typed staged WAL) or "json" (a
+    Debezium-style line-JSON WAL). The JSON path is the reference's
+    permissive parse + bad-record side channel (read_marc.py:7-9,
+    record_update.py:243-252) on a real text format: PERMISSIVE mode
+    captures each malformed line in a ``_corrupt`` column; such rows
+    parse with null keys, so the existing split_bad quarantine routes
+    them to the sink's replay-guarded bad table — the raw line is
+    preserved by stuffing it into the (otherwise all-null) row's
+    ``text`` field before the transport column is dropped, so no new
+    schema or side channel is needed and exactly-once is untouched."""
     schema = CHANGES_SCHEMA_V2 if evolved else CHANGES_SCHEMA
 
     def apply_batch(batch_df, batch_id: int):
+        if "_corrupt" in batch_df.columns:
+            # corrupt line ⇒ all schema fields null + raw text in
+            # _corrupt. Partial type-failures keep their parsed fields
+            # (and are quarantined via whichever key is null).
+            batch_df = batch_df.withColumn(
+                "text", F.coalesce(F.col("text"), F.col("_corrupt"))
+            ).drop("_corrupt")
         if transform is not None:
             batch_df = transform(batch_df)
         if salt_buckets:
@@ -83,11 +108,23 @@ def run_stream(
             )
         sink.apply_merge(batch_df, batch_id, **merge_opts)
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(feed_dir)
-    )
+    reader = spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+    if feed_format == "json":
+        from pyspark.sql import types as T
+
+        with_corrupt = T.StructType(
+            schema.fields + [T.StructField("_corrupt", T.StringType(), True)]
+        )
+        stream = (
+            reader.schema(with_corrupt)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .json(feed_dir)
+        )
+    elif feed_format == "parquet":
+        stream = reader.schema(schema).parquet(feed_dir)
+    else:
+        raise ValueError(f"unknown feed_format: {feed_format}")
     q = (
         stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)

@@ -360,3 +360,43 @@ def test_out_of_order_wal_segments(spark, tmp_path):
     # the out-of-order batches produced stale routes, not lost data
     routes = {r.route for r in sink.routed().select("route").distinct().collect()}
     assert "stale" in routes
+
+
+def test_json_feed_permissive_corrupt_quarantine(spark, tmp_path):
+    """S1 permissive parse on a REAL text WAL: a line-JSON feed with
+    malformed lines streams to the same final state as the oracle on
+    the valid rows, and every corrupt line lands in the sink's
+    replay-guarded quarantine with its raw text preserved."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    base_pd, ch_pd, sink = _setup(spark, tmp_path, n_events=300, seed=23)
+    chunks = _chunks(ch_pd, 3)
+    stage_feed_chunks(chunks, str(tmp_path / "feed"), fmt="json")
+    # corrupt two lines: one unparseable, one mid-record type failure
+    f0 = os.path.join(str(tmp_path / "feed"), "chunk-000000.json")
+    with open(f0, "a") as fh:
+        fh.write('{"op": "U", "lsn": BROKEN\n')
+        fh.write('{"op": "U", "lsn": "not-a-number", "conv_id": "conv-1", "turn_idx": 0}\n')
+    run_stream(
+        spark, str(tmp_path / "feed"), sink, str(tmp_path / "ckpt"),
+        feed_format="json",
+    )
+    want = oracle.replay(base_pd, ch_pd)
+    got = _final_text(sink.read())
+    assert got == list(zip(want.conv_id, want.turn_idx, want.text.fillna("<N>"), want.lsn))
+    bad = spark.read.parquet(sink.bad_path)
+    assert bad.count() == 2
+    # raw lines preserved for forensics
+    raws = [r.text for r in bad.select("text").collect()]
+    assert any(raw is not None and "BROKEN" in raw for raw in raws)
+    assert any(raw is not None and "not-a-number" in raw for raw in raws)
+    # replay-guarded: re-running the same feed on a fresh checkpoint
+    # appends nothing
+    run_stream(
+        spark, str(tmp_path / "feed"), sink, str(tmp_path / "ckpt2"),
+        feed_format="json",
+    )
+    assert spark.read.parquet(sink.bad_path).count() == 2
+    assert _final_text(sink.read()) == got
