@@ -264,3 +264,52 @@ def test_mor_auto_compaction_result_contract(spark, tmp_path):
         assert res.final.count() > 0
     assert len(sink._delta_batch_dirs()) <= 2
     assert _final_text(sink.read()) == _oracle_state(base_pd, ch_pd)
+
+
+def test_mor_schema_evolution_and_compaction(spark, tmp_path):
+    """Additive evolution through the merge-on-read path: v1 batches
+    write deltas without tool_meta, v2 batches with it — the read view
+    unions mixed-schema base ∪ deltas (allowMissingColumns) — and
+    compact_data folds the mixed-schema stack into one evolved base
+    without losing either the new column or null-preserve semantics."""
+    from marc_data_migration_spark.streaming.stream import run_stream
+
+    base_pd = feedgen.gen_transcripts(n_convs=20, seed=29)
+    ch_pd = feedgen.gen_changes("evolve", n_events=400, n_convs=20, seed=29)
+    ch_pd = ch_pd.sort_values("lsn").reset_index(drop=True)
+    half = len(ch_pd) // 2
+    ch_pd.loc[: half - 1, "tool_meta"] = None
+    v1 = ch_pd.iloc[:half].drop(columns=["tool_meta"])
+    v2 = ch_pd.iloc[half:].reset_index(drop=True)
+    assert v2.tool_meta.notna().any()
+
+    sink = MorParquetMergeSink(spark, str(tmp_path / "target"), n_buckets=8)
+    sink.init(spark.createDataFrame(base_pd))
+    feed, ckpt = str(tmp_path / "feed"), str(tmp_path / "ckpt")
+
+    stage_feed_chunks(_chunks(v1, 2), feed)
+    run_stream(spark, feed, sink, ckpt)
+    stage_feed_chunks(_chunks(v2, 2), feed, start_at=2)
+    run_stream(spark, feed, sink, ckpt, evolved=True)
+
+    def state(df):
+        got = df.orderBy(*KEY_COLS).toPandas()
+        return (
+            list(zip(got.conv_id, got.turn_idx, got.text.fillna("<N>"), got.lsn)),
+            list(got.tool_meta.fillna("<N>")),
+        )
+
+    want = base_pd
+    for chunk in _chunks(v1, 2) + _chunks(v2, 2):
+        want = oracle.replay(want, chunk)
+    want = want.sort_values(KEY_COLS).reset_index(drop=True)
+    want_state = (
+        list(zip(want.conv_id, want.turn_idx, want.text.fillna("<N>"), want.lsn)),
+        list(want.tool_meta.fillna("<N>")),
+    )
+
+    assert state(sink.read()) == want_state
+    # fold the mixed-schema delta stack into the base — view unchanged
+    assert sink.compact_data() >= 1
+    assert sink._delta_batch_dirs() == []
+    assert state(sink.read()) == want_state
