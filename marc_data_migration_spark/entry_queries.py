@@ -2492,6 +2492,133 @@ def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_contexts(d, "nt", ctx_size=512, n_shards=8)
 
 
+# -- distributed k-means (operators/clustering.py): Lloyd's iterations
+#    as Spark aggs — assignment is a no-shuffle projection over centroid
+#    literals, the update shuffles only O(tasks*k*dim) partial means.
+#    Every updated coordinate is rounded to 6 decimals, so the oracle
+#    replays the SAME training schedule as unrolled CTEs and arrives at
+#    digit-identical centroids: rounding re-synchronizes both engines
+#    each iteration, float summation-order drift cannot compound --------
+
+
+_KM_DIST = (
+    "list_inner_product(e.v, e.v) - 2 * list_inner_product(e.v, c.c)"
+    " + list_inner_product(c.c, c.c)"
+)
+
+
+def _kmeans_ctes(k: int = 8, n_iter: int = 3, dim: int = 64, seed: int = 19) -> str:
+    """DuckDB mirror of clustering.kmeans_fit: the same LCG-literal
+    init, the same expanded-form distances, the same 6-decimal rounding
+    after each mean update, empty cells coalescing to the previous
+    centroid. Produces CTEs e, c0, a1..aN, m1..mN, c1..cN."""
+    from .operators.similarity_search import random_planes
+
+    init = "\n  UNION ALL ".join(
+        f"SELECT {i} AS cell, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]) AS c"
+        for i, c in enumerate(random_planes(k, dim, seed))
+    )
+    parts = [
+        "e AS (\n  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS v FROM embeddings\n)",
+        f"c0 AS (\n  {init}\n)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM (SELECT e.vec_id, e.v, c.cell, {_KM_DIST} AS d FROM e CROSS JOIN c{i - 1} c)
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""m{i} AS (
+  SELECT cell, list(m ORDER BY pos) AS c FROM (
+    SELECT a.cell, t.pos, round(avg(a.v[CAST(t.pos AS INT) + 1]), 6) AS m
+    FROM a{i} a, range({dim}) t(pos)
+    GROUP BY a.cell, t.pos
+  ) GROUP BY cell
+)"""
+        )
+        parts.append(
+            f"""c{i} AS (
+  SELECT p.cell, coalesce(m{i}.c, p.c) AS c
+  FROM c{i - 1} p LEFT JOIN m{i} ON m{i}.cell = p.cell
+)"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+@query(
+    "kmeans_cells",
+    _kmeans_ctes(k=8, n_iter=3, dim=64, seed=19)
+    + f""",
+af AS (
+  SELECT vec_id, cell, d FROM (
+    SELECT vec_id, cell, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM (SELECT e.vec_id, c.cell, {_KM_DIST} AS d FROM e CROSS JOIN c3 c)
+  ) WHERE rn = 1
+)
+SELECT af.cell, count(*) AS n_members,
+       round(sqrt(list_inner_product(c.c, c.c)), 4) AS centroid_norm,
+       round(sum(af.d), 2) AS inertia
+FROM af JOIN c3 c ON c.cell = af.cell
+GROUP BY af.cell, c.c
+""",
+)
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import kmeans_cells
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_cells(emb, k=8, n_iter=3, dim=64, seed=19)
+
+
+# -- trained-centroid IVF ANN (clustering.ivf_trained_topk): the
+#    data-adapted coarse quantizer — k-means centroids slot into the
+#    IVF probe as literals, exactly the upgrade ivf_ann_topk's docstring
+#    promises. Plan shape unchanged: assignment is a projection, probe
+#    is a BroadcastHashJoin on cell, corpus never re-shuffles -----------
+
+
+@query(
+    "ivf_trained_topk",
+    _kmeans_ctes(k=8, n_iter=3, dim=64, seed=19)
+    + f""",
+cc AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM (SELECT e.vec_id, e.v, c.cell, {_KM_DIST} AS d FROM e CROSS JOIN c3 c)
+  ) WHERE rn = 1
+),
+cq AS (
+  SELECT vec_id AS q, v AS qv, cell FROM (
+    SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM (SELECT e.vec_id, e.v, c.cell, {_KM_DIST} AS d
+          FROM e CROSS JOIN c3 c WHERE e.vec_id % 100 = 0)
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT cq.q, cc.vec_id,
+    round(list_inner_product(qv, v)
+          / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 4) AS score
+  FROM cq JOIN cc ON cc.cell = cq.cell AND cc.vec_id <> cq.q
+)
+SELECT q, vec_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY q ORDER BY score DESC, vec_id) AS rn FROM scored
+) WHERE rn <= 3
+""",
+)
+def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import ivf_trained_topk, kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_fit(emb, k=8, n_iter=3, dim=64, seed=19)
+    return ivf_trained_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), cents, k=3, nprobe=4
+    )
+
+
 # ---------------------------------------------------------------------
 # Curated driver proof-window ordering
 # ---------------------------------------------------------------------
@@ -2548,10 +2675,11 @@ QUERY_ORDER: list[str] = [
     "ngram_neardup_pairs",
     "simhash_dup_clusters",
     "dedup_components",
-    # LLM-pipeline: similarity search
+    # LLM-pipeline: similarity search / clustering
     "lsh_multitable_ann_topk",
     "ivf_ann_topk",
-    "embedding_neardup_pairs",
+    "kmeans_cells",
+    "ivf_trained_topk",
     "embedding_neardup_multitable",
     # LLM-pipeline: text analysis / sampling / composed flagship
     "lang_id",
@@ -2561,15 +2689,21 @@ QUERY_ORDER: list[str] = [
     "hash_split_assign",
     "stratified_cap_by_lang",
     "corpus_curation",
-    "multimodal_features",
     # ---- rotation tail (slot 51+): operators transitively proven by an
     # in-window query; each holds a green row in CORRECTNESS_r01/r02.
     # (pack_contexts is new in r03 and starts in the tail — local-gate
     # proven, rotates into the window next round; embedding_cosine_topk
     # and topk_orders_per_segment rotated out with r01+r02 green rows,
     # their operators covered in-window by the ANN family and the
-    # stratified-cap WindowGroupLimit respectively.)
+    # stratified-cap WindowGroupLimit respectively;
+    # embedding_neardup_pairs rotated out with its r02 green row —
+    # the in-window multitable variant runs a superset of its path;
+    # multimodal_features rotated out with its r02 green row — its
+    # mapInPandas family holds three r02 rows, media_resize and
+    # frame_sample_counts continue to pin the plumbing from the tail.)
     "pack_contexts",
+    "embedding_neardup_pairs",
+    "multimodal_features",
     "embedding_cosine_topk",
     "topk_orders_per_segment",
     "pricing_summary",

@@ -1,0 +1,187 @@
+"""Distributed k-means over an embedding column (array<float>) —
+Lloyd's algorithm as Spark aggregations, plus the trained-centroid IVF
+probe it feeds.
+
+The reference has no clustering (its nearest analogue is the literal
+location map, plugins/pnca/location_mapper.py:9-54 — a hand-built
+partition of the key space); a training-data pipeline needs the
+data-trained version: semantic bucketing for dedup/mixing, and trained
+coarse-quantizer centroids for IVF ANN (similarity_search.ivf_ann_topk
+documents "k-means centroids slot in as literals" — this module
+produces those literals).
+
+Execution shape (the MLlib shape, re-derived on DataFrames):
+- ASSIGN is a pure projection: argmin squared distance over k centroid
+  literals via sort_array of a struct array — JVM-side, codegen'd, no
+  shuffle, no UDF.
+- UPDATE is posexplode(vec) → groupBy(cell, pos).avg(val): partial
+  aggregation reduces each map task's contribution to k*dim rows
+  before the exchange, so shuffle volume is O(tasks * k * dim) —
+  independent of corpus row count. The k*dim averaged coordinates
+  (k=8, dim=64 → 512 doubles) collect to the driver per iteration;
+  that is the bounded, intended driver state (the centroid set IS the
+  model), not a driver-side data loop.
+- Distances use the expanded form <v,v> - 2<v,c> + <c,c> and every
+  updated coordinate is rounded to 6 decimals, so a SQL engine
+  replaying the same schedule (tools' DuckDB oracle, unrolled CTEs —
+  entry_queries.kmeans_oracle_sql) reproduces the trained centroids
+  digit-for-digit: decimal→double parsing is exact at 6 decimals and
+  rounding re-synchronizes both engines every iteration, so float
+  summation-order drift (~1e-12) cannot compound.
+
+At 100 TB: iterations scan the corpus once each (no shuffle of the
+vectors themselves — only the k*dim partial means move), so cost is
+n_iter sequential scans; cache the (id, vec) projection for the loop.
+Empty cells keep their previous centroid (both engines agree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity_search import _as_double, _check_dim, _dot, random_planes
+
+
+def _dist2(v, c_lit: list[float]):
+    """Squared L2 distance <v,v> - 2<v,c> + <c,c> — the expanded form
+    both engines evaluate (term order pinned by the expression tree)."""
+    c = F.array(*[F.lit(x) for x in c_lit])
+    cc = sum(x * x for x in c_lit)
+    return _dot(v, v) - F.lit(2.0) * _dot(v, c) + F.lit(cc)
+
+
+def argmin_cell(v, centroids: list[list[float]]):
+    """Index of the nearest centroid, ties to the lowest index: struct
+    sort is lexicographic, so sort_array asc over (dist, i) ranks by
+    distance asc then index asc — mirroring the oracle's
+    ``ORDER BY dist, cell``."""
+    scores = F.array(
+        *[
+            F.struct(_dist2(v, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.sort_array(scores)[0]["i"]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+    dim: int = 64,
+    seed: int = 19,
+    strict_dim: bool = False,
+) -> list[list[float]]:
+    """Train k centroids with ``n_iter`` Lloyd updates from a
+    deterministic LCG-literal init (similarity_search.random_planes —
+    data-independent, engine-portable). Returns the trained centroids
+    as plain floats rounded to 6 decimals, ready to embed as literals
+    in any engine."""
+    _check_dim(df, vec_col, dim, "kmeans_fit", strict=strict_dim)
+    centroids = random_planes(k, dim, seed)
+    v = df.select(_as_double(F.col(vec_col)).alias("v"))
+    for _ in range(n_iter):
+        assigned = v.select("v", argmin_cell(F.col("v"), centroids).alias("cell"))
+        rows = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty cells keep previous
+        for r in rows:
+            new[r["cell"]][r["pos"]] = round(r["m"], 6)
+        centroids = new
+    return centroids
+
+
+def kmeans_cells(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iter: int = 3,
+    dim: int = 64,
+    seed: int = 19,
+) -> DataFrame:
+    """Fit, then summarize the final partition: one row per non-empty
+    cell with member count, centroid L2 norm, and within-cell inertia
+    (sum of squared distances). The summary is the oracle-checkable
+    surface of the training run — counts pin the assignment, the norm
+    pins the centroid coordinates, inertia pins the distances."""
+    centroids = kmeans_fit(df, vec_col, k=k, n_iter=n_iter, dim=dim, seed=seed)
+    v = df.select(_as_double(F.col(vec_col)).alias("v"))
+    assigned = v.select("v", argmin_cell(F.col("v"), centroids).alias("cell"))
+    per_dist = assigned.select(
+        "cell",
+        F.array(*[
+            F.struct(_dist2(F.col("v"), c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]).alias("scores"),
+    ).select("cell", F.sort_array("scores")[0]["d"].alias("d"))
+    norms = {i: round(sum(x * x for x in c) ** 0.5, 4) for i, c in enumerate(centroids)}
+    norm_expr = F.element_at(
+        F.array(*[F.lit(norms[i]) for i in range(k)]), F.col("cell") + 1
+    )
+    return (
+        per_dist.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.sum("d"), 2).alias("inertia"),
+        )
+        .select("cell", "n_members", norm_expr.alias("centroid_norm"), "inertia")
+    )
+
+
+def ivf_trained_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+    dim: int = 64,
+    strict_dim: bool = False,
+) -> DataFrame:
+    """IVF ANN probe over TRAINED centroids — the data-adapted upgrade
+    of similarity_search.ivf_ann_topk (whose cells are random
+    directions): corpus rows live in their argmin-distance cell, each
+    query probes its ``nprobe`` nearest cells. Trained cells follow the
+    data's density, so recall at equal nprobe improves over the random
+    family. Plan shape is identical: assignment is a projection, the
+    probe is a bucket equi-join (queries broadcast, corpus shuffles
+    once on cell), top-k rides a per-query window."""
+    from pyspark.sql import Window
+
+    _check_dim(corpus, vec_col, dim, "ivf_trained_topk", strict=strict_dim)
+    from .similarity_search import _cosine
+
+    def cell_rank(v):
+        return F.sort_array(
+            F.array(
+                *[
+                    F.struct(_dist2(v, c).alias("d"), F.lit(i).alias("i"))
+                    for i, c in enumerate(centroids)
+                ]
+            )
+        )
+
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    c = c.select(id_col, "cv", cell_rank(F.col("cv"))[0]["i"].alias("cell"))
+    q = queries.select(
+        F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    q = q.select(
+        "q", "qv", F.explode(F.slice(cell_rank(F.col("qv")), 1, nprobe)).alias("pr")
+    ).select("q", "qv", F.col("pr")["i"].alias("cell"))
+    scored = F.broadcast(q).join(c, "cell").filter(F.col("q") != F.col(id_col))
+    scored = scored.select("q", id_col, _cosine(F.col("qv"), F.col("cv")).alias("score"))
+    w = Window.partitionBy("q").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -1,0 +1,131 @@
+"""Distributed k-means (operators/clustering.py): the Spark training
+loop must reproduce a plain numpy replay of the identical schedule
+(same LCG init, same expanded-form distances, same 6-decimal rounding,
+empty cells keep their centroid), and the trained-centroid IVF probe
+must degrade to exact search when probing every cell."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _load_np(path: str) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(path)
+    ids = np.asarray(t.column("vec_id"))
+    vecs = np.array([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    return ids, vecs
+
+
+def _np_kmeans(vecs: np.ndarray, k: int, n_iter: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    from marc_data_migration_spark.operators.similarity_search import random_planes
+
+    cents = np.array(random_planes(k, vecs.shape[1], seed), dtype=np.float64)
+    for _ in range(n_iter):
+        d = (
+            (vecs * vecs).sum(axis=1)[:, None]
+            - 2.0 * vecs @ cents.T
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        cells = d.argmin(axis=1)  # argmin ties → lowest index, same as struct sort
+        new = cents.copy()
+        for c in range(k):
+            members = vecs[cells == c]
+            if len(members):
+                new[c] = np.round(members.mean(axis=0), 6)
+        cents = new
+    d = (
+        (vecs * vecs).sum(axis=1)[:, None]
+        - 2.0 * vecs @ cents.T
+        + (cents * cents).sum(axis=1)[None, :]
+    )
+    return cents, d.argmin(axis=1)
+
+
+def test_kmeans_fit_matches_numpy_replay(spark):
+    from marc_data_migration_spark.operators.clustering import kmeans_fit
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = np.array(kmeans_fit(emb, k=8, n_iter=3, dim=64, seed=19))
+    _, vecs = _load_np(f"{SF_DIR}/embeddings.parquet")
+    want, _ = _np_kmeans(vecs, k=8, n_iter=3, seed=19)
+    # both sides round to 6 decimals each iteration; summation-order
+    # drift below the rounding step is the only tolerated difference
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_kmeans_cells_summary_matches_numpy(spark):
+    from marc_data_migration_spark.operators.clustering import kmeans_cells
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = {r.cell: r.n_members for r in kmeans_cells(emb, k=8, n_iter=3, seed=19).collect()}
+    _, vecs = _load_np(f"{SF_DIR}/embeddings.parquet")
+    _, cells = _np_kmeans(vecs, k=8, n_iter=3, seed=19)
+    want = {int(c): int((cells == c).sum()) for c in set(cells.tolist())}
+    assert rows == want
+
+
+def test_kmeans_inertia_non_increasing():
+    """Lloyd's guarantee, preserved through the 6-decimal rounding at
+    the scales the rounding step can't disturb."""
+    _, vecs = _load_np(f"{SF_DIR}/embeddings.parquet")
+    inertias = []
+    from marc_data_migration_spark.operators.similarity_search import random_planes
+
+    cents = np.array(random_planes(8, vecs.shape[1], 19), dtype=np.float64)
+    for _ in range(5):
+        d = (
+            (vecs * vecs).sum(axis=1)[:, None]
+            - 2.0 * vecs @ cents.T
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        cells = d.argmin(axis=1)
+        inertias.append(d.min(axis=1).sum())
+        new = cents.copy()
+        for c in range(8):
+            members = vecs[cells == c]
+            if len(members):
+                new[c] = np.round(members.mean(axis=0), 6)
+        cents = new
+    for a, b in zip(inertias, inertias[1:]):
+        assert b <= a + 1e-3
+
+
+def test_ivf_trained_full_probe_is_exact(spark):
+    """Probing all k cells makes every corpus row a candidate — the
+    result must equal the exact cosine top-k bit-for-bit; and the
+    driver config (nprobe=4 of 8 trained cells) clears a recall floor."""
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.operators.clustering import (
+        ivf_trained_topk,
+        kmeans_fit,
+    )
+    from marc_data_migration_spark.operators.similarity_search import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = kmeans_fit(emb, k=8, n_iter=3, dim=64, seed=19)
+    exact = {(r.q, r.vec_id) for r in cosine_topk(emb, q, k=3).collect()}
+    full = {
+        (r.q, r.vec_id)
+        for r in ivf_trained_topk(emb, q, cents, k=3, nprobe=8).collect()
+    }
+    assert full == exact
+    got4 = {
+        (r.q, r.vec_id)
+        for r in ivf_trained_topk(emb, q, cents, k=3, nprobe=4).collect()
+    }
+    recall = len(exact & got4) / len(exact)
+    assert recall >= 0.5  # random-cell baseline would be 4/8
+
+
+def test_kmeans_dim_guard(spark):
+    from marc_data_migration_spark.operators.clustering import kmeans_fit
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError, match="embedding length"):
+        kmeans_fit(emb, k=4, n_iter=1, dim=32, seed=19)
