@@ -2492,6 +2492,67 @@ def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_contexts(d, "nt", ctx_size=512, n_shards=8)
 
 
+# -- temperature-based stratum rebalancing (sampling.temperature_keep):
+#    the p^alpha multilingual sampler — stratum stats are a tiny
+#    broadcast dim, the keep decision a deterministic md5-bucket
+#    projection; probabilities rounded to 6 decimals both sides so a
+#    last-ulp pow() difference can't flip a keep decision ---------------
+
+
+@query(
+    "temperature_sample",
+    f"""
+WITH lc AS (
+  SELECT lang, count(*) AS n_l, pow(count(*), 0.5) AS w_l
+  FROM documents GROUP BY lang
+), tot AS (SELECT sum(w_l) AS s FROM lc)
+SELECT doc_id, lang, round(p, 4) AS keep_prob FROM (
+  SELECT d.doc_id, d.lang,
+         round(least(1.0, 250 * lc.w_l / (tot.s * lc.n_l)), 6) AS p,
+         {_md5int_sql("'temp#' || CAST(doc_id AS VARCHAR)")} % 10000 AS u
+  FROM documents d JOIN lc USING (lang) CROSS JOIN tot
+) WHERE u < p * 10000
+""",
+)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.sampling import temperature_keep
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_keep(docs, alpha=0.5, budget=250).select(
+        "doc_id", "lang", "keep_prob"
+    )
+
+
+# -- top-k n-gram vocabulary (text_analysis.top_ngrams): corpus
+#    frequency profile — map-side partial agg per distinct gram,
+#    TakeOrderedAndProject top-k, gram-lexicographic tie-break so the
+#    rank-k cut is engine-deterministic ---------------------------------
+
+
+@query(
+    "vocab_top_ngrams",
+    f"""
+WITH norm AS (
+  SELECT string_split({_norm_sql('text')}, ' ') AS w FROM documents
+), grams AS (
+  SELECT unnest(
+    CASE WHEN len(w) >= 2
+         THEN [array_to_string(w[i:i+1], ' ') for i in generate_series(1, len(w)-1)]
+         ELSE [] END) AS ngram
+  FROM norm
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n
+FROM grams GROUP BY ngram
+ORDER BY n DESC, ngram LIMIT 20
+""",
+)
+def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text_analysis import top_ngrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_ngrams(docs, n=2, k_top=20)
+
+
 # -- distributed k-means (operators/clustering.py): Lloyd's iterations
 #    as Spark aggs — assignment is a no-shuffle projection over centroid
 #    literals, the update shuffles only O(tasks*k*dim) partial means.
@@ -2646,7 +2707,6 @@ QUERY_ORDER: list[str] = [
     "conditional_move",
     "key_extraction",
     "normalize_text",
-    "fuzzy_perfect_pairs",
     "online_classifier_counts",
     "mismatch_join",
     "dup_role_report",
@@ -2654,7 +2714,6 @@ QUERY_ORDER: list[str] = [
     "exists_dup_keys",
     "field_change_counts",
     "field_audit_diffs",
-    "windowed_metrics",
     "mat_type_analysis",
     "map_lookup_location",
     "pipe_parse_derive",
@@ -2688,6 +2747,8 @@ QUERY_ORDER: list[str] = [
     "decontam_overlap",
     "hash_split_assign",
     "stratified_cap_by_lang",
+    "temperature_sample",
+    "vocab_top_ngrams",
     "corpus_curation",
     # ---- rotation tail (slot 51+): operators transitively proven by an
     # in-window query; each holds a green row in CORRECTNESS_r01/r02.
@@ -2700,10 +2761,16 @@ QUERY_ORDER: list[str] = [
     # the in-window multitable variant runs a superset of its path;
     # multimodal_features rotated out with its r02 green row — its
     # mapInPandas family holds three r02 rows, media_resize and
-    # frame_sample_counts continue to pin the plumbing from the tail.)
+    # frame_sample_counts continue to pin the plumbing from the tail;
+    # windowed_metrics (r02 green) rotated out — the A2 counter family
+    # stays pinned in-window by cdc_route_counts + rollup_route_metrics;
+    # fuzzy_perfect_pairs (r02 green) rotated out — the F3 perfect path
+    # stays pinned in-window by cdc_apply_perfect_gate.)
     "pack_contexts",
     "embedding_neardup_pairs",
     "multimodal_features",
+    "windowed_metrics",
+    "fuzzy_perfect_pairs",
     "embedding_cosine_topk",
     "topk_orders_per_segment",
     "pricing_summary",

@@ -56,6 +56,55 @@ def hash_split(
     return last if expr is None else expr.otherwise(last)
 
 
+def temperature_keep(
+    df,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    budget: int = 250,
+    salt: str = "temp",
+):
+    """Temperature-based stratum rebalancing — the multilingual-corpus
+    sampler (the p^alpha upsampling rule multilingual LM pipelines use):
+    stratum l with n_l docs gets sampling weight n_l^alpha / sum
+    n_l^alpha, flattening the head so dominant languages stop drowning
+    the tail (alpha=1 recovers natural frequencies, alpha=0 uniform).
+    Per-doc keep probability is min(1, budget * w_l / (sum_w * n_l)),
+    decided by the same deterministic md5 bucket as hash_split — so the
+    sample is stable under reruns, auditable from any SQL engine, and
+    NESTED across configurations: a doc's bucket never changes, so
+    raising the budget (or any change that raises its stratum's
+    probability) only ever ADDs docs to the sample, never swaps them.
+
+    Scale shape: stratum stats are a tiny groupBy (one row per
+    language), joined back by BROADCAST — the corpus itself never
+    shuffles; the keep decision is a projection. Probabilities are
+    rounded to 6 decimals before the bucket comparison so engines whose
+    pow() differs in the last ulp still make identical keep decisions.
+
+    Returns the kept rows with their ``keep_prob`` (rounded to 4, the
+    driver double convention)."""
+    lc = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("_n_l"))
+    lc = lc.withColumn("_w_l", F.pow(F.col("_n_l").cast("double"), F.lit(alpha)))
+    tot = lc.agg(F.sum("_w_l").alias("_s"))
+    prob = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget)) * F.col("_w_l") / (F.col("_s") * F.col("_n_l")),
+        ),
+        6,
+    )
+    u = split_bucket(id_col, salt)
+    return (
+        df.join(F.broadcast(lc), lang_col)
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_p", prob)
+        .filter(u < F.col("_p") * BUCKETS)
+        .withColumn("keep_prob", F.round(F.col("_p"), 4))
+        .drop("_n_l", "_w_l", "_s", "_p")
+    )
+
+
 def stratified_cap(df, group_col, order_col, quota: int):
     """Keep at most ``quota`` rows per group — the representation-cap a
     corpus pipeline applies per language / domain / source so one

@@ -155,3 +155,43 @@ def fingerprint(norm_col: Column | str) -> Column:
     normalized text (word-order/duplication-invariant identity)."""
     toks = tokens(norm_col)
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+
+
+def ngram_occurrences(df, text_col: str = "text", n: int = 2):
+    """Raw n-gram OCCURRENCES of the normalized text (one row per
+    position, not per distinct gram — vocabulary induction counts
+    frequency, unlike dedup shingling which wants per-doc sets). The
+    token array is materialized in its own projection first: Catalyst
+    does no subexpression elimination inside higher-order-function
+    lambdas (same pitfall text_dedup.shingles documents)."""
+    from .normalize import normalize_text
+
+    words = F.col("_words")
+    # sequence(1, m) DESCENDS when m < 1 — guard short docs explicitly
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.split(normalize_text(text_col), " ").alias("_words")).select(
+        F.explode(grams).alias("ngram")
+    )
+
+
+def top_ngrams(df, text_col: str = "text", n: int = 2, k_top: int = 20):
+    """Top-k n-grams by corpus frequency — the vocabulary-induction /
+    corpus-profiling primitive (seed vocab for a BPE-ish tokenizer,
+    boilerplate detection). groupBy(ngram) partial-aggregates map-side,
+    so the shuffle carries one row per distinct gram per task; the
+    top-k is a TakeOrderedAndProject (per-partition heaps, no global
+    sort materialization). Ties break on the gram itself so the cut at
+    rank k is deterministic in any engine."""
+    return (
+        ngram_occurrences(df, text_col, n)
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "ngram")
+        .limit(k_top)
+    )

@@ -595,3 +595,61 @@ def test_check_dim_strict_catches_ragged_and_null(spark):
     )
     with pytest.raises(ValueError, match="null"):
         _check_dim(nullv, "embedding", 4, "t", strict=True)
+
+
+def test_temperature_keep_flattens_and_nests(spark):
+    """temperature_keep: (a) deterministic across runs; (b) total kept
+    lands near the budget; (c) alpha=0.5 flattens the language mix —
+    every stratum's kept share sits between uniform and natural;
+    (d) samples are NESTED: raising the budget only adds docs."""
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.functions.sampling import temperature_keep
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    kept1 = {r.doc_id for r in temperature_keep(docs, budget=250).collect()}
+    kept2 = {r.doc_id for r in temperature_keep(docs, budget=250).collect()}
+    assert kept1 == kept2
+    n_docs = docs.count()
+    assert abs(len(kept1) - 250) / 250 < 0.2  # md5 buckets ≈ uniform
+    natural = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept_by_lang = {
+        r.lang: r.n
+        for r in temperature_keep(docs, budget=250)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # natural shares vs kept shares: dominant strata shrink, tail grows
+    nat_max = max(natural.values()) / n_docs
+    kept_total = sum(kept_by_lang.values())
+    kept_max = max(kept_by_lang.values()) / kept_total
+    assert kept_max < nat_max  # the head was flattened
+    bigger = {r.doc_id for r in temperature_keep(docs, budget=400).collect()}
+    assert kept1 <= bigger  # nested: budget up → strict superset
+
+
+def test_top_ngrams_matches_python_counts(spark):
+    """top_ngrams equals an exact Python recount of normalized-bigram
+    occurrences (raw occurrences, not per-doc sets), with the
+    deterministic (count desc, gram asc) cut."""
+    from collections import Counter
+
+    from marc_data_migration_spark.functions.text_analysis import top_ngrams
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = [(r.ngram, r.n) for r in top_ngrams(docs, n=2, k_top=10).collect()]
+    from marc_data_migration_spark.functions.normalize import normalize_text
+    from pyspark.sql import functions as F
+
+    norm = [
+        r.t
+        for r in docs.select(normalize_text("text").alias("t")).collect()
+    ]
+    counts = Counter()
+    for t in norm:
+        w = t.split(" ")
+        for i in range(len(w) - 1):
+            counts[w[i] + " " + w[i + 1]] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == want
