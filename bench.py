@@ -45,6 +45,14 @@ HEADLINE = [
     "pii_redaction",
     "decontam_overlap",
     "pack_contexts",
+    # round-3 second-session additions (same per-query-series rule).
+    # kmeans_cells / ivf_trained_topk run Lloyd training driver-side at
+    # query build — that cost lands in construct_sec, exec stays the
+    # like-for-like series.
+    "kmeans_cells",
+    "ivf_trained_topk",
+    "temperature_sample",
+    "vocab_top_ngrams",
 ]
 
 

@@ -84,9 +84,15 @@ def temperature_keep(
 
     Returns the kept rows with their ``keep_prob`` (rounded to 4, the
     driver double convention)."""
+    from pyspark.sql import Window
+
     lc = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("_n_l"))
     lc = lc.withColumn("_w_l", F.pow(F.col("_n_l").cast("double"), F.lit(alpha)))
-    tot = lc.agg(F.sum("_w_l").alias("_s"))
+    # normalizer sum over the stratum dim itself: a single-partition
+    # window over one-row-per-language (bounded small by definition) —
+    # avoids a scalar cross join, which would plan as a
+    # BroadcastNestedLoopJoin on the corpus side
+    lc = lc.withColumn("_s", F.sum("_w_l").over(Window.partitionBy()))
     prob = F.round(
         F.least(
             F.lit(1.0),
@@ -97,7 +103,6 @@ def temperature_keep(
     u = split_bucket(id_col, salt)
     return (
         df.join(F.broadcast(lc), lang_col)
-        .crossJoin(F.broadcast(tot))
         .withColumn("_p", prob)
         .filter(u < F.col("_p") * BUCKETS)
         .withColumn("keep_prob", F.round(F.col("_p"), 4))
