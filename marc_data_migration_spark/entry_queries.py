@@ -2680,6 +2680,58 @@ def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- SemDeDup-style semantic near-dup pruning (clustering.
+#    semantic_neardup_pairs): trained-cell restriction turns the n²
+#    pair space into Σ|cell|² ≈ n·(n/k); identical vectors always share
+#    a cell, boundary-straddling near-dups are the documented recall
+#    trade (the hyperplane-bucket family covers the other side) --------
+
+
+@query(
+    "semantic_neardup_pairs",
+    _kmeans_ctes(k=8, n_iter=3, dim=64, seed=19)
+    + f""",
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id % 50 = 0
+), e2 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM corpus
+), cells AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM (SELECT e2.vec_id, e2.v, c.cell, {_KM_DIST.replace('e.', 'e2.')} AS d
+          FROM e2 CROSS JOIN c3 c)
+  ) WHERE rn = 1
+)
+SELECT id_a, id_b, cos FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(list_inner_product(a.v, b.v)
+          / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) AS cos
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+) WHERE cos >= 0.4
+""",
+)
+def q_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroids train on the RAW corpus; the planted exact copies
+    (every 50th vector under vec_id+10^7 — the embedding_neardup
+    planting convention) only join the assignment/pairing stage, so
+    the model is plant-independent and each copy must land in its
+    original's cell and surface at cos=1. Threshold 0.4 keeps natural
+    within-cell pairs in the result too (synthetic random vectors top
+    out near cos 0.51 — real-embedding semantic dedup runs 0.9+)."""
+    from .operators.clustering import kmeans_fit, semantic_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_fit(emb, k=8, n_iter=3, dim=64, seed=19)
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    return semantic_neardup_pairs(emb.unionByName(planted), cents, threshold=0.4)
+
+
 # ---------------------------------------------------------------------
 # Curated driver proof-window ordering
 # ---------------------------------------------------------------------
@@ -2710,7 +2762,6 @@ QUERY_ORDER: list[str] = [
     "online_classifier_counts",
     "mismatch_join",
     "dup_role_report",
-    "dup_group_members",
     "exists_dup_keys",
     "field_change_counts",
     "field_audit_diffs",
@@ -2739,6 +2790,7 @@ QUERY_ORDER: list[str] = [
     "ivf_ann_topk",
     "kmeans_cells",
     "ivf_trained_topk",
+    "semantic_neardup_pairs",
     "embedding_neardup_multitable",
     # LLM-pipeline: text analysis / sampling / composed flagship
     "lang_id",
@@ -2765,8 +2817,12 @@ QUERY_ORDER: list[str] = [
     # windowed_metrics (r02 green) rotated out — the A2 counter family
     # stays pinned in-window by cdc_route_counts + rollup_route_metrics;
     # fuzzy_perfect_pairs (r02 green) rotated out — the F3 perfect path
-    # stays pinned in-window by cdc_apply_perfect_gate.)
+    # stays pinned in-window by cdc_apply_perfect_gate;
+    # dup_group_members (r02 green) rotated out — the A1 aggregation
+    # stays pinned in-window by cdc_dup_keys, the join-back shape by
+    # the merge-family joins.)
     "pack_contexts",
+    "dup_group_members",
     "embedding_neardup_pairs",
     "multimodal_features",
     "windowed_metrics",

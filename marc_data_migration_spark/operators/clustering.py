@@ -24,7 +24,7 @@ Execution shape (the MLlib shape, re-derived on DataFrames):
 - Distances use the expanded form <v,v> - 2<v,c> + <c,c> and every
   updated coordinate is rounded to 6 decimals, so a SQL engine
   replaying the same schedule (tools' DuckDB oracle, unrolled CTEs —
-  entry_queries.kmeans_oracle_sql) reproduces the trained centroids
+  entry_queries._kmeans_ctes) reproduces the trained centroids
   digit-for-digit: decimal→double parsing is exact at 6 decimals and
   rounding re-synchronizes both engines every iteration, so float
   summation-order drift (~1e-12) cannot compound.
@@ -184,4 +184,45 @@ def ivf_trained_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
+    )
+
+
+def semantic_neardup_pairs(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.85,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    strict_dim: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pruning: assign every
+    vector to its trained k-means cell, pair WITHIN cells only, keep
+    pairs with rounded cosine ≥ threshold, oriented id_a < id_b.
+
+    The cluster restriction is the scale move (the published SemDeDup
+    recipe): pairing cost drops from n² to Σ|cell|² ≈ n·(n/k), and k
+    grows with the corpus (k ≈ n/target_cell_size, exactly like
+    similarity_search.scaled_bits) so expected per-cell work stays
+    constant. The price is recall at cell boundaries — a near-dup pair
+    straddling two cells is missed (identical vectors never are: equal
+    inputs get equal argmin cells). The hyperplane-bucket variant
+    (embedding_neardup_pairs) trades the other way: data-blind buckets
+    but multi-table recall recovery; a pipeline can run either.
+
+    Physically: assignment is the no-shuffle projection, the pair join
+    is a cell equi-join (each side shuffles once on cell, hot cells
+    split via AQE), the cosine filter is a projection."""
+    from .similarity_search import _cosine
+
+    _check_dim(corpus, vec_col, dim, "semantic_neardup_pairs", strict=strict_dim)
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    c = c.select(id_col, "v", argmin_cell(F.col("v"), centroids).alias("cell"))
+    a = c.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cell")
+    b = c.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "cell")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
     )

@@ -129,3 +129,60 @@ def test_kmeans_dim_guard(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     with pytest.raises(ValueError, match="embedding length"):
         kmeans_fit(emb, k=4, n_iter=1, dim=32, seed=19)
+
+
+def test_semantic_neardup_planted_copies_and_subset(spark):
+    """semantic_neardup_pairs: (a) an exact planted copy always shares
+    its original's argmin cell, so every planted pair surfaces at
+    cos=1; (b) the output is exactly the within-cell subset of the
+    all-pairs cosine result — boundary-straddling pairs are the
+    documented recall trade, nothing else is dropped."""
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.operators.clustering import (
+        argmin_cell,
+        kmeans_fit,
+        semantic_neardup_pairs,
+    )
+    from marc_data_migration_spark.operators.similarity_search import (
+        _as_double,
+        _cosine,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_fit(emb, k=8, n_iter=3, dim=64, seed=19)
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    got = semantic_neardup_pairs(corpus, cents, threshold=0.4).collect()
+    pairs = {(r.id_a, r.id_b): r.cos for r in got}
+    n_planted = planted.count()
+    for r in planted.select((F.col("vec_id") - 10_000_000).alias("orig")).collect():
+        assert pairs[(r.orig, r.orig + 10_000_000)] == 1.0
+    assert n_planted > 0
+
+    # exhaustive within-cell reference: all pairs >= threshold that
+    # share a cell — must equal the operator output exactly
+    assigned = corpus.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+        argmin_cell(_as_double(F.col("embedding")), cents).alias("cell"),
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cell"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cell"
+    )
+    want = {
+        (r.id_a, r.id_b): r.cos
+        for r in a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+        .collect()
+    }
+    assert pairs == want
