@@ -81,19 +81,24 @@ def kmeans_fit(
     in any engine."""
     _check_dim(df, vec_col, dim, "kmeans_fit", strict=strict_dim)
     centroids = random_planes(k, dim, seed)
-    v = df.select(_as_double(F.col(vec_col)).alias("v"))
-    for _ in range(n_iter):
-        assigned = v.select("v", argmin_cell(F.col("v"), centroids).alias("cell"))
-        rows = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("m"))
-            .collect()
-        )
-        new = [list(c) for c in centroids]  # empty cells keep previous
-        for r in rows:
-            new[r["cell"]][r["pos"]] = round(r["m"], 6)
-        centroids = new
+    # the (vec) projection is scanned once per iteration — cache it so
+    # iterations 2..n read columnar in-memory batches, not the source
+    v = df.select(_as_double(F.col(vec_col)).alias("v")).persist()
+    try:
+        for _ in range(n_iter):
+            assigned = v.select("v", argmin_cell(F.col("v"), centroids).alias("cell"))
+            rows = (
+                assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg(F.avg("val").alias("m"))
+                .collect()
+            )
+            new = [list(c) for c in centroids]  # empty cells keep previous
+            for r in rows:
+                new[r["cell"]][r["pos"]] = round(r["m"], 6)
+            centroids = new
+    finally:
+        v.unpersist()
     return centroids
 
 
