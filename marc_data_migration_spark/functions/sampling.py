@@ -86,7 +86,19 @@ def temperature_keep(
     driver double convention)."""
     from pyspark.sql import Window
 
-    lc = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("_n_l"))
+    # NULL strata participate: an equi-join on the raw lang column
+    # would silently drop every NULL-lang doc (NULL never equi-joins),
+    # zeroing their keep probability with no error — docs whose
+    # language ID failed form their own stratum instead
+    lang_key = F.coalesce(
+        (F.col(lang_col) if isinstance(lang_col, str) else lang_col).cast("string"),
+        F.lit("<null>"),
+    )
+    lc = (
+        df.select(lang_key.alias("_lang"))
+        .groupBy("_lang")
+        .agg(F.count(F.lit(1)).alias("_n_l"))
+    )
     lc = lc.withColumn("_w_l", F.pow(F.col("_n_l").cast("double"), F.lit(alpha)))
     # normalizer sum over the stratum dim itself: a single-partition
     # window over one-row-per-language (bounded small by definition) —
@@ -102,11 +114,12 @@ def temperature_keep(
     )
     u = split_bucket(id_col, salt)
     return (
-        df.join(F.broadcast(lc), lang_col)
+        df.withColumn("_lang", lang_key)
+        .join(F.broadcast(lc), "_lang")
         .withColumn("_p", prob)
         .filter(u < F.col("_p") * BUCKETS)
         .withColumn("keep_prob", F.round(F.col("_p"), 4))
-        .drop("_n_l", "_w_l", "_s", "_p")
+        .drop("_lang", "_n_l", "_w_l", "_s", "_p")
     )
 
 

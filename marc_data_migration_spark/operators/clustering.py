@@ -51,18 +51,24 @@ def _dist2(v, c_lit: list[float]):
     return _dot(v, v) - F.lit(2.0) * _dot(v, c) + F.lit(cc)
 
 
-def argmin_cell(v, centroids: list[list[float]]):
-    """Index of the nearest centroid, ties to the lowest index: struct
+def cell_rank(v, centroids: list[list[float]]):
+    """Centroids ranked nearest-first as a sorted struct array: struct
     sort is lexicographic, so sort_array asc over (dist, i) ranks by
     distance asc then index asc — mirroring the oracle's
-    ``ORDER BY dist, cell``."""
+    ``ORDER BY dist, cell``. ``[0]`` is the assignment (d, i); a slice
+    of the head is an nprobe cell list."""
     scores = F.array(
         *[
             F.struct(_dist2(v, c).alias("d"), F.lit(i).alias("i"))
             for i, c in enumerate(centroids)
         ]
     )
-    return F.sort_array(scores)[0]["i"]
+    return F.sort_array(scores)
+
+
+def argmin_cell(v, centroids: list[list[float]]):
+    """Index of the nearest centroid, ties to the lowest index."""
+    return cell_rank(v, centroids)[0]["i"]
 
 
 def kmeans_fit(
@@ -105,7 +111,6 @@ def kmeans_fit(
 def kmeans_cells(
     df: DataFrame,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
     k: int = 8,
     n_iter: int = 3,
     dim: int = 64,
@@ -118,14 +123,12 @@ def kmeans_cells(
     pins the centroid coordinates, inertia pins the distances."""
     centroids = kmeans_fit(df, vec_col, k=k, n_iter=n_iter, dim=dim, seed=seed)
     v = df.select(_as_double(F.col(vec_col)).alias("v"))
-    assigned = v.select("v", argmin_cell(F.col("v"), centroids).alias("cell"))
-    per_dist = assigned.select(
-        "cell",
-        F.array(*[
-            F.struct(_dist2(F.col("v"), c).alias("d"), F.lit(i).alias("i"))
-            for i, c in enumerate(centroids)
-        ]).alias("scores"),
-    ).select("cell", F.sort_array("scores")[0]["d"].alias("d"))
+    # one ranking per row: the best struct carries both the cell and
+    # its distance (materialized behind an alias so CollapseProject
+    # cannot inline the k*dim distance work twice)
+    per_dist = v.select(cell_rank(F.col("v"), centroids)[0].alias("best")).select(
+        F.col("best")["i"].alias("cell"), F.col("best")["d"].alias("d")
+    )
     norms = {i: round(sum(x * x for x in c) ** 0.5, 4) for i, c in enumerate(centroids)}
     norm_expr = F.element_at(
         F.array(*[F.lit(norms[i]) for i in range(k)]), F.col("cell") + 1
@@ -159,37 +162,20 @@ def ivf_trained_topk(
     family. Plan shape is identical: assignment is a projection, the
     probe is a bucket equi-join (queries broadcast, corpus shuffles
     once on cell), top-k rides a per-query window."""
-    from pyspark.sql import Window
+    from .similarity_search import probe_topk
 
     _check_dim(corpus, vec_col, dim, "ivf_trained_topk", strict=strict_dim)
-    from .similarity_search import _cosine
-
-    def cell_rank(v):
-        return F.sort_array(
-            F.array(
-                *[
-                    F.struct(_dist2(v, c).alias("d"), F.lit(i).alias("i"))
-                    for i, c in enumerate(centroids)
-                ]
-            )
-        )
-
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
-    c = c.select(id_col, "cv", cell_rank(F.col("cv"))[0]["i"].alias("cell"))
+    c = c.select(id_col, "cv", argmin_cell(F.col("cv"), centroids).alias("cell"))
     q = queries.select(
         F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("qv")
     )
     q = q.select(
-        "q", "qv", F.explode(F.slice(cell_rank(F.col("qv")), 1, nprobe)).alias("pr")
+        "q",
+        "qv",
+        F.explode(F.slice(cell_rank(F.col("qv"), centroids), 1, nprobe)).alias("pr"),
     ).select("q", "qv", F.col("pr")["i"].alias("cell"))
-    scored = F.broadcast(q).join(c, "cell").filter(F.col("q") != F.col(id_col))
-    scored = scored.select("q", id_col, _cosine(F.col("qv"), F.col("cv")).alias("score"))
-    w = Window.partitionBy("q").orderBy(F.col("score").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return probe_topk(c, q, k, id_col)
 
 
 def semantic_neardup_pairs(

@@ -190,6 +190,31 @@ def _cell_scores(v, centroids: list[list[float]]):
     )
 
 
+def probe_topk(
+    corpus_cells: DataFrame, query_cells: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Shared IVF probe tail (random-direction AND k-means-trained
+    families — clustering.ivf_trained_topk): bucket equi-join on
+    ``cell`` with the query side broadcast, self-pair filter,
+    rounded-cosine scoring, deterministic (score desc, id) per-query
+    top-k. Inputs: corpus_cells(id_col, cv, cell) and
+    query_cells(q, qv, cell) — one row per probed cell."""
+    scored = (
+        F.broadcast(query_cells)
+        .join(corpus_cells, "cell")
+        .filter(F.col("q") != F.col(id_col))
+    )
+    scored = scored.select(
+        "q", id_col, _cosine(F.col("qv"), F.col("cv")).alias("score")
+    )
+    w = Window.partitionBy("q").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -240,12 +265,7 @@ def ivf_ann_topk(
             )["i"]
         ).alias("cell"),
     )
-    scored = F.broadcast(q).join(c, "cell").filter(F.col("q") != F.col(id_col))
-    scored = scored.select(
-        "q", id_col, _cosine(F.col("qv"), F.col("cv")).alias("score")
-    )
-    w = Window.partitionBy("q").orderBy(F.col("score").desc(), F.col(id_col))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+    return probe_topk(c, q, k, id_col)
 
 
 def embedding_neardup_pairs(

@@ -8,7 +8,7 @@ last-write-wins file order (SURVEY.md §2.5 W1 — record_update.py
 wins, keyed on the word-order-invariant document fingerprint
 (functions.text_analysis.fingerprint).
 
-Two implementations, tested equal within the TTL horizon:
+Two implementations:
 
 - ``first_seen_batch`` — pure Catalyst: row_number over
   (fingerprint, ORDER BY ts, doc_id) = 1. The replay/backfill path and
@@ -18,6 +18,18 @@ Two implementations, tested equal within the TTL horizon:
   the first arrival emits immediately (append mode), later arrivals
   only refresh the horizon. When the watermark passes
   ``last_seen + ttl`` the state is dropped.
+
+Equality contract (test-pinned): the two paths agree whenever each
+fingerprint's earliest-(ts, id) row arrives in the first batch that
+carries the fingerprint — i.e. for event-time-ordered feeds, and
+within a batch regardless of row order (min-(ts, id) wins). A LATE
+cross-batch duplicate with an earlier event time than the already
+emitted row is deliberately suppressed: append-mode emission is
+irrevocable, so the stream keeps the first-ARRIVED row where the
+batch path would pick the earlier-timestamped one. That is the
+standard streaming dedup semantics (keep-first-observed); pipelines
+needing strict event-time first-wins replay first_seen_batch over the
+stored corpus.
 
 The TTL is the deliberate bounded-state trade: stream state cannot
 hold every fingerprint ever seen at 100 TB, so a duplicate arriving

@@ -33,7 +33,7 @@ def _doc(doc_id: int, text: str, minutes: float) -> dict:
     }
 
 
-def _run_stream(spark, tmp_path, chunks, ttl_seconds, name):
+def _run_stream(spark, tmp_path, chunks, ttl_seconds, name, watermark_delay="10 seconds"):
     feed = str(tmp_path / f"feed_{name}")
     stage_feed_chunks([pd.DataFrame(c) for c in chunks], feed)
     stream = (
@@ -42,7 +42,7 @@ def _run_stream(spark, tmp_path, chunks, ttl_seconds, name):
         .parquet(feed)
     )
     q = (
-        dedup_stream(stream, ttl_seconds=ttl_seconds)
+        dedup_stream(stream, ttl_seconds=ttl_seconds, watermark_delay=watermark_delay)
         .writeStream.format("memory")
         .queryName(f"dedup_out_{name}")
         .outputMode("append")
@@ -111,3 +111,28 @@ def test_within_ttl_no_reemit(spark, tmp_path):
     ]
     got = _run_stream(spark, tmp_path, chunks, ttl_seconds=ttl, name="inttl")
     assert sorted(got.doc_id.astype(int)) == [1, 2, 3]
+
+
+def test_late_crossbatch_duplicate_keeps_first_arrived(spark, tmp_path):
+    """Documented divergence from the batch path: a cross-batch
+    duplicate with an EARLIER event time (late but inside the
+    watermark) is suppressed — append-mode emission is irrevocable, so
+    the stream keeps the first-ARRIVED row while first_seen_batch
+    picks the earlier-timestamped one."""
+    chunks = [
+        [_doc(1, "recurring boilerplate banner text", 10)],
+        [_doc(2, "recurring boilerplate banner text", 5)],  # late, earlier ts
+    ]
+    # 30-minute watermark delay: the late row is WITHIN the watermark,
+    # so the engine delivers it to the state function (not pre-filtered)
+    # and the suppression below is our state logic's decision
+    got = _run_stream(
+        spark, tmp_path, chunks, ttl_seconds=3600, name="late",
+        watermark_delay="30 minutes",
+    )
+    assert sorted(got.doc_id.astype(int)) == [1]  # first-arrived wins
+    all_docs = spark.createDataFrame(
+        pd.DataFrame([d for c in chunks for d in c]), DOCS_SCHEMA
+    )
+    batch = first_seen_batch(all_docs).toPandas()
+    assert sorted(batch.doc_id.astype(int)) == [2]  # batch: min (ts, id)

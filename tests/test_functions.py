@@ -653,3 +653,28 @@ def test_top_ngrams_matches_python_counts(spark):
             counts[w[i] + " " + w[i + 1]] += 1
     want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got == want
+
+
+def test_temperature_keep_null_lang_stratum(spark):
+    """Docs whose language ID failed (lang NULL) form their own
+    stratum instead of silently equi-join-dropping to keep_prob 0."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from marc_data_migration_spark.functions.sampling import temperature_keep
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    rows = [{"doc_id": i, "lang": "en"} for i in range(40)]
+    rows += [{"doc_id": 100 + i, "lang": None} for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema)
+    # budget >= corpus: every stratum's keep_prob saturates at 1, so
+    # ALL rows — including every NULL-lang doc — must survive
+    kept = temperature_keep(df, budget=200).toPandas()
+    assert len(kept) == 80
+    assert kept[kept.lang.isna()].shape[0] == 40
+    assert (kept.keep_prob == 1.0).all()
