@@ -2732,6 +2732,80 @@ def q_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_neardup_pairs(emb.unionByName(planted), cents, threshold=0.4)
 
 
+# -- per-language quality-threshold calibration: exact interpolated
+#    percentiles of the quality features per stratum — how a pipeline
+#    derives its filter thresholds FROM the corpus distribution instead
+#    of hard-coding them (one partial-agg shuffle; percentile is exact,
+#    matching DuckDB quantile_cont as value_percentiles established) ----
+
+
+@query(
+    "quality_calibration",
+    f"""
+WITH t AS (
+  SELECT lang,
+         len(string_split_regex(trim(text), '\\s+')) AS nt,
+         round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                        tk -> list_contains([{", ".join(f"'{s}'" for s in EN_STOPWORDS)}], tk))) AS DOUBLE)
+               / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS sr
+  FROM documents
+)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  round(quantile_cont(nt, 0.25), 4) AS p25_tokens,
+  round(quantile_cont(nt, 0.5), 4) AS p50_tokens,
+  round(quantile_cont(sr, 0.25), 4) AS p25_stopword
+FROM t GROUP BY lang
+""",
+)
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text_analysis import quality_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = quality_features("text")
+    d = docs.select(
+        "lang",
+        feats["n_tokens"].alias("nt"),
+        feats["stopword_ratio"].alias("sr"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(nt, 0.25)"), 4).alias("p25_tokens"),
+        F.round(F.expr("percentile(nt, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(sr, 0.25)"), 4).alias("p25_stopword"),
+    )
+
+
+# -- corpus mixture report: per (source, lang) doc/token counts and the
+#    doc share of the whole corpus — the report a pipeline reads before
+#    setting mixing weights. Shares ride a single-partition window over
+#    the already-aggregated (source×lang) rows, not the corpus ----------
+
+
+@query(
+    "source_mix_report",
+    """
+SELECT source, lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens,
+  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 4) AS doc_share
+FROM documents GROUP BY source, lang
+""",
+)
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text_analysis import n_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    agg = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return agg.withColumn(
+        "doc_share", F.round(F.col("n_docs").cast("double") / total, 4)
+    )
+
+
 # ---------------------------------------------------------------------
 # Curated driver proof-window ordering
 # ---------------------------------------------------------------------
@@ -2820,8 +2894,13 @@ QUERY_ORDER: list[str] = [
     # stays pinned in-window by cdc_apply_perfect_gate;
     # dup_group_members (r02 green) rotated out — the A1 aggregation
     # stays pinned in-window by cdc_dup_keys, the join-back shape by
-    # the merge-family joins.)
+    # the merge-family joins. quality_calibration and source_mix_report
+    # are new in r03 and start in the tail (local-gate proven at two
+    # scale factors, rotate into the window next round, like
+    # pack_contexts).)
     "pack_contexts",
+    "quality_calibration",
+    "source_mix_report",
     "dup_group_members",
     "embedding_neardup_pairs",
     "multimodal_features",
