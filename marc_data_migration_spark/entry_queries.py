@@ -2806,6 +2806,47 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- first-seen dedup, batch form (streaming/dedup_stream.py
+#    first_seen_batch — the oracle-checkable analogue of the TTL-state
+#    streaming operator): earliest (ts, id) row per normalized-text
+#    fingerprint. Duplicates planted at a LATER synthetic ts must lose
+#    to their originals -------------------------------------------------
+
+
+@query(
+    "first_seen_docs",
+    f"""
+WITH corpus AS (
+  SELECT doc_id, text, CAST(doc_id % 97 AS BIGINT) AS ts FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, CAST(500 AS BIGINT) AS ts
+  FROM documents WHERE doc_id % 25 = 0
+), fp AS (
+  SELECT doc_id, ts,
+    md5(array_to_string(list_sort(list_distinct(
+      string_split({_norm_sql('text')}, ' '))), ' ')) AS fingerprint
+  FROM corpus
+)
+SELECT fingerprint, doc_id, ts AS first_ts FROM (
+  SELECT fingerprint, doc_id, ts,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY ts, doc_id) AS rn
+  FROM fp
+) WHERE rn = 1
+""",
+)
+def q_first_seen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.dedup_stream import first_seen_batch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base = docs.withColumn("ts", (F.col("doc_id") % 97).cast("long"))
+    dups = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        .withColumn("ts", F.lit(500).cast("long"))
+    )
+    return first_seen_batch(base.unionByName(dups))
+
+
 # ---------------------------------------------------------------------
 # Curated driver proof-window ordering
 # ---------------------------------------------------------------------
@@ -2901,6 +2942,7 @@ QUERY_ORDER: list[str] = [
     "pack_contexts",
     "quality_calibration",
     "source_mix_report",
+    "first_seen_docs",
     "dup_group_members",
     "embedding_neardup_pairs",
     "multimodal_features",
