@@ -217,3 +217,63 @@ def semantic_neardup_pairs(
         .select("id_a", "id_b", _cosine(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    strict_dim: bool = False,
+) -> None:
+    """Materialize the IVF index at rest: the corpus written as parquet
+    PARTITIONED BY its argmin cell — the 100 TB shape the probe
+    docstrings promise. Assignment cost is paid once at write; probes
+    then read only the probed cells' directories (partition pruning —
+    no scan, no shuffle of unprobed cells). Re-train + rewrite is the
+    index rebuild; appends assign against the SAME centroid literals,
+    so an incremental writer stays consistent."""
+    _check_dim(corpus, vec_col, dim, "ivf_index_write", strict=strict_dim)
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        argmin_cell(_as_double(F.col(vec_col)), centroids).alias("cell"),
+    )
+    c.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_index_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the at-rest index: queries rank their nprobe nearest
+    cells, the corpus scan carries ``cell IN (probed)`` — Spark turns
+    the filter on the partition column into PartitionFilters, so only
+    the probed directories are listed and read (test-pinned via the
+    plan's pushed partition filters). The probed fraction of the
+    corpus then joins exactly like the in-memory probe."""
+    from .similarity_search import probe_topk
+
+    q = queries.select(
+        F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    q = q.select(
+        "q",
+        "qv",
+        F.explode(F.slice(cell_rank(F.col("qv"), centroids), 1, nprobe)).alias("pr"),
+    ).select("q", "qv", F.col("pr")["i"].alias("cell"))
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    c = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probed))
+        .select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"), "cell")
+    )
+    return probe_topk(c, q, k, id_col)
