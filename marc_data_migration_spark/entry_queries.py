@@ -544,6 +544,16 @@ def _md5int_sql(x: str) -> str:
     return f"CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
 
 
+def _fingerprint_sql(norm: str) -> str:
+    """DuckDB mirror of text_analysis.fingerprint over an already
+    normalized expression — the cross-engine document identity; keep
+    every oracle on this single definition."""
+    return (
+        "md5(array_to_string(list_sort(list_distinct(\n"
+        f"    string_split({norm}, ' '))), ' '))"
+    )
+
+
 def _hyperplane_bucket_sql(planes: list[list[float]], col: str = "embedding") -> str:
     """DuckDB mirror of similarity_search.hyperplane_bucket: the SAME
     literal plane components (deterministic LCG, 6-decimal rounding)
@@ -809,8 +819,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprint",
     f"""
 SELECT doc_id,
-  md5(array_to_string(list_sort(list_distinct(
-    string_split({_norm_sql('text')}, ' '))), ' ')) AS fp
+  {_fingerprint_sql(_norm_sql('text'))} AS fp
 FROM documents
 """,
 )
@@ -2823,8 +2832,7 @@ WITH corpus AS (
   FROM documents WHERE doc_id % 25 = 0
 ), fp AS (
   SELECT doc_id, ts,
-    md5(array_to_string(list_sort(list_distinct(
-      string_split({_norm_sql('text')}, ' '))), ' ')) AS fingerprint
+    {_fingerprint_sql(_norm_sql('text'))} AS fingerprint
   FROM corpus
 )
 SELECT fingerprint, doc_id, ts AS first_ts FROM (

@@ -253,15 +253,23 @@ def ivf_index_probe(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     nprobe: int = 4,
+    dim: int = 64,
+    strict_dim: bool = False,
 ) -> DataFrame:
     """Probe the at-rest index: queries rank their nprobe nearest
     cells, the corpus scan carries ``cell IN (probed)`` — Spark turns
     the filter on the partition column into PartitionFilters, so only
     the probed directories are listed and read (test-pinned via the
-    plan's pushed partition filters). The probed fraction of the
-    corpus then joins exactly like the in-memory probe."""
+    plan's partition filters). The probed fraction of the corpus then
+    joins exactly like the in-memory probe.
+
+    The query side is evaluated ONCE (one job): it must be collected
+    anyway to know which partitions to probe, and it is broadcast-small
+    by the same assumption probe_topk makes — the collected rows feed
+    both the partition filter and the join input."""
     from .similarity_search import probe_topk
 
+    _check_dim(queries, vec_col, dim, "ivf_index_probe", strict=strict_dim)
     q = queries.select(
         F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("qv")
     )
@@ -270,10 +278,12 @@ def ivf_index_probe(
         "qv",
         F.explode(F.slice(cell_rank(F.col("qv"), centroids), 1, nprobe)).alias("pr"),
     ).select("q", "qv", F.col("pr")["i"].alias("cell"))
-    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    q_rows = q.collect()
+    probed = sorted({r["cell"] for r in q_rows})
+    q_local = spark.createDataFrame(q_rows, schema=q.schema)
     c = (
         spark.read.parquet(path)
         .filter(F.col("cell").isin(probed))
         .select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"), "cell")
     )
-    return probe_topk(c, q, k, id_col)
+    return probe_topk(c, q_local, k, id_col)

@@ -221,11 +221,15 @@ def test_ivf_index_at_rest_prunes_partitions(spark, tmp_path):
 
     plan = probe._jdf.queryExecution().executedPlan().toString()
     # multiple scans exist (the query side reads unpartitioned
-    # testdata); at least one — the index scan — must carry the
-    # probed-cell partition filter
-    pf_heads = [seg[:200] for seg in plan.split("PartitionFilters")[1:]]
-    assert any("cell" in h for h in pf_heads), pf_heads
-    # the listed partition directories must be only the probed cells
+    # testdata with PartitionFilters: []); the index scan must carry a
+    # NON-EMPTY partition filter on cell — parse the bracket contents
+    # so a regression demoting the filter to PushedFilters (e.g. the
+    # index written unpartitioned) cannot false-pass on nearby text
+    import re
+
+    pf_bodies = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cell" in body for body in pf_bodies), pf_bodies
+    # and the layout really is cell-partitioned on disk
     import os
 
     on_disk = {d for d in os.listdir(path) if d.startswith("cell=")}
