@@ -2511,15 +2511,20 @@ def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "temperature_sample",
     f"""
-WITH lc AS (
-  SELECT lang, count(*) AS n_l, pow(count(*), 0.5) AS w_l
-  FROM documents GROUP BY lang
+WITH d AS (
+  -- NULL-lang docs form their own stratum, mirroring the Spark side's
+  -- coalesce-to-'<null>' key: a raw USING(lang) join would silently
+  -- drop them (NULL never equi-joins)
+  SELECT doc_id, lang, coalesce(lang, '<null>') AS lk FROM documents
+), lc AS (
+  SELECT lk, count(*) AS n_l, pow(count(*), 0.5) AS w_l
+  FROM d GROUP BY lk
 ), tot AS (SELECT sum(w_l) AS s FROM lc)
 SELECT doc_id, lang, round(p, 4) AS keep_prob FROM (
   SELECT d.doc_id, d.lang,
          round(least(1.0, 250 * lc.w_l / (tot.s * lc.n_l)), 6) AS p,
          {_md5int_sql("'temp#' || CAST(doc_id AS VARCHAR)")} % 10000 AS u
-  FROM documents d JOIN lc USING (lang) CROSS JOIN tot
+  FROM d JOIN lc USING (lk) CROSS JOIN tot
 ) WHERE u < p * 10000
 """,
 )

@@ -255,6 +255,7 @@ def ivf_index_probe(
     nprobe: int = 4,
     dim: int = 64,
     strict_dim: bool = False,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Probe the at-rest index: queries rank their nprobe nearest
     cells, the corpus scan carries ``cell IN (probed)`` — Spark turns
@@ -265,8 +266,12 @@ def ivf_index_probe(
 
     The query side is evaluated ONCE (one job): it must be collected
     anyway to know which partitions to probe, and it is broadcast-small
-    by the same assumption probe_topk makes — the collected rows feed
-    both the partition filter and the join input."""
+    by the same assumption probe_topk makes. That assumption is
+    ENFORCED, not trusted: the fetch is an incremental take() capped at
+    ``max_query_rows`` (queries × nprobe rows) that fails loudly above
+    the cap — an oversized query frame raises instead of OOMing the
+    driver (the _check_dim fail-loud philosophy). A genuinely large
+    query set is a batch join, not an index probe."""
     from .similarity_search import probe_topk
 
     _check_dim(queries, vec_col, dim, "ivf_index_probe", strict=strict_dim)
@@ -278,7 +283,14 @@ def ivf_index_probe(
         "qv",
         F.explode(F.slice(cell_rank(F.col("qv"), centroids), 1, nprobe)).alias("pr"),
     ).select("q", "qv", F.col("pr")["i"].alias("cell"))
-    q_rows = q.collect()
+    q_rows = q.take(max_query_rows + 1)
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"ivf_index_probe: query side exceeds max_query_rows="
+            f"{max_query_rows} (queries × nprobe rows); the probe "
+            "assumes a broadcast-small query set — raise max_query_rows "
+            "deliberately or run the in-memory probe as a distributed join"
+        )
     probed = sorted({r["cell"] for r in q_rows})
     q_local = spark.createDataFrame(q_rows, schema=q.schema)
     c = (

@@ -38,6 +38,9 @@ from ..functions.text_analysis import quality_features, redact_pii
 from .incremental_dedup import IncrementalLshDedup
 
 DOCS_SCHEMA = "doc_id long, text string"
+METRICS_SCHEMA = (
+    "batch_id long, n_in long, n_low_quality long, n_dups long, n_kept long"
+)
 
 
 class CorpusIngest:
@@ -58,16 +61,27 @@ class CorpusIngest:
 
     # -- one micro-batch ---------------------------------------------------
     def apply_batch(self, docs: DataFrame, batch_id: int) -> None:
-        n_in = docs.count()
         feats = quality_features("text")
-        good = docs.filter(
-            (feats["n_tokens"] >= self.min_tokens)
-            & (feats["top_token_ratio"] <= self.max_top_token_ratio)
+        gate = (feats["n_tokens"] >= self.min_tokens) & (
+            feats["top_token_ratio"] <= self.max_top_token_ratio
         )
+        # n_in and n_good in ONE aggregation over ONE scan of the batch
+        # (the old separate docs.count()/clean.count() pair scanned the
+        # batch twice and evaluated the quality features twice)
+        stats = docs.select(gate.cast("long").alias("_ok")).agg(
+            F.count(F.lit(1)).alias("n_in"), F.sum("_ok").alias("n_good")
+        ).first()
+        n_in = int(stats["n_in"])
+        n_good = int(stats["n_good"] or 0)
         # scrub BEFORE dedup so the published band index and the stored
-        # corpus describe the same text
-        clean = good.select("doc_id", redact_pii("text").alias("text"))
-        n_good = clean.count()
+        # corpus describe the same text. Persisted for the batch: the
+        # gate + PII-scrub projection chain feeds BOTH the dedup probe
+        # (signature computation) and the kept-docs commit — without the
+        # cache it would execute once per consumer (3× per batch, the
+        # hot path of the ingest stream).
+        clean = docs.filter(gate).select(
+            "doc_id", redact_pii("text").alias("text")
+        ).persist()
         kept = self.dedup.apply_batch(clean, batch_id).persist()
         n_kept = kept.count()
         (
@@ -79,6 +93,7 @@ class CorpusIngest:
             .parquet(self.docs_path)
         )
         kept.unpersist()
+        clean.unpersist()
         metrics = self.spark.createDataFrame(
             [
                 (
@@ -89,7 +104,7 @@ class CorpusIngest:
                     n_kept,
                 )
             ],
-            "batch_id long, n_in long, n_low_quality long, n_dups long, n_kept long",
+            METRICS_SCHEMA,
         )
         (
             metrics.coalesce(1)
@@ -106,6 +121,10 @@ class CorpusIngest:
         return self.spark.read.parquet(self.docs_path)
 
     def metrics(self) -> DataFrame:
+        # an empty feed produces zero batches and no metrics directory;
+        # report that as an empty typed frame, not an AnalysisException
+        if not os.path.isdir(self.metrics_path):
+            return self.spark.createDataFrame([], METRICS_SCHEMA)
         return self.spark.read.parquet(self.metrics_path)
 
 

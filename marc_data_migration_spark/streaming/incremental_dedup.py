@@ -42,20 +42,37 @@ BANDS_SCHEMA = "band int, bh long, doc_id long, batch_id long"
 
 
 class IncrementalLshDedup:
+    #: publish fan-in: each batch's kept×n_bands rows land in at most
+    #: this many files (coalesce(1) was a single-task serialization
+    #: point at 10^7-doc batches; full shuffle-partition fan-out would
+    #: accrete tiny files — same trade the CoW sink's audit appends make)
+    PUBLISH_PARTITIONS = 4
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
         self.index_path = os.path.join(path, "band_index")
         self._prev_bands = None  # double-buffered band cache (see apply_batch)
+        self._applied_ids: set[int] | None = None  # lazy ledger cache
 
     def _index(self) -> DataFrame:
         if not os.path.isdir(self.index_path):
             return self.spark.createDataFrame([], BANDS_SCHEMA)
         return self.spark.read.parquet(self.index_path)
 
+    def _ledger(self) -> set[int]:
+        """In-memory applied-batch cache, read from the parquet index
+        ONCE per object lifetime (the resume path) and maintained by
+        apply_batch afterwards — a per-batch distinct-collect over the
+        accumulated index is an O(batches²) read volume over a long
+        ingest stream (mirrors ParquetMergeSink._ledger)."""
+        if self._applied_ids is None:
+            rows = self._index().select("batch_id").distinct().collect()
+            self._applied_ids = {r.batch_id for r in rows}
+        return self._applied_ids
+
     def applied_batch_ids(self) -> set[int]:
-        rows = self._index().select("batch_id").distinct().collect()
-        return {r.batch_id for r in rows}
+        return set(self._ledger())  # copy: callers must not alias the cache
 
     def apply_batch(
         self, docs: DataFrame, batch_id: int, text_col: str = "text",
@@ -68,7 +85,7 @@ class IncrementalLshDedup:
         column on the way in (and back on the way out) — the published
         index always carries ``doc_id`` regardless of caller naming.
         """
-        replay = batch_id in self.applied_batch_ids()
+        replay = batch_id in self._ledger()
         d = docs.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else docs
         # strictly-earlier index slice: on replay, the batch's own
         # published bands must not count as "seen" against itself
@@ -102,10 +119,14 @@ class IncrementalLshDedup:
             (
                 kept_bands.withColumn("batch_id", F.lit(batch_id).cast("long"))
                 .select("band", "bh", "doc_id", "batch_id")
-                .coalesce(1)
+                .coalesce(self.PUBLISH_PARTITIONS)
                 .write.mode("append")
                 .parquet(self.index_path)
             )
+            # the write IS the publish — reconcile the cache now so a
+            # same-object retry of this batch_id replays (skips
+            # re-publish) instead of appending its bands twice
+            self._ledger().add(batch_id)
         # keep = docs minus the dropped sets. NOT a semi-join on
         # kept_bands: a doc too short to shingle has no bands at
         # all — it cannot collide and must pass through.

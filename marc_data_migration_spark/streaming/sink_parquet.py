@@ -28,6 +28,7 @@ LSN guard in the MERGE itself makes even a forced re-apply converge).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 
@@ -40,6 +41,8 @@ from ..schemas import KEY_COLS, TRANSCRIPTS_SCHEMA
 
 BUCKET_COL = "bucket"
 PROPS_FILE = "_table_properties.json"
+
+log = logging.getLogger(__name__)
 
 
 def bucket_expr(n_buckets: int):
@@ -106,6 +109,30 @@ class ParquetMergeSink:
         silently missed and the LSN idempotence guard is bypassed."""
         props = load_table_properties(self.path)
         if props is None:
+            # A table that predates the props file: defaulting to 32
+            # over data actually bucketed differently would make
+            # _read_buckets miss base rows and silently bypass the LSN
+            # idempotence guard — infer from the bucket=N directories
+            # instead (they are the layout) and refuse a contradiction.
+            observed = self._observed_max_bucket()
+            if observed is not None:
+                inferred = observed + 1
+                if n_buckets is not None:
+                    if observed >= n_buckets:
+                        raise ValueError(
+                            f"table {self.path} has bucket directories up to "
+                            f"bucket={observed} but was opened with "
+                            f"n_buckets={n_buckets}; rows above the flag's "
+                            "range would be invisible to the merge."
+                        )
+                    return n_buckets
+                log.warning(
+                    "table %s has no %s; inferred n_buckets=%d from its "
+                    "bucket=N directories (pass n_buckets explicitly if the "
+                    "table was written sparser than its bucket count)",
+                    self.path, PROPS_FILE, inferred,
+                )
+                return inferred
             return 32 if n_buckets is None else n_buckets
         if props["sink_mode"] != self.SINK_MODE:
             raise ValueError(
@@ -120,6 +147,19 @@ class ParquetMergeSink:
                 f"full rewrite (init on a fresh path), not a flag."
             )
         return props["n_buckets"]
+
+    def _observed_max_bucket(self) -> int | None:
+        """Highest bucket=N directory under data/, or None for a table
+        with no data yet. md5/xxhash bucketing fills every bucket at any
+        realistic row count, so max+1 recovers the write-time layout."""
+        if not os.path.isdir(self.data_path):
+            return None
+        seen = [
+            int(name.split("=", 1)[1])
+            for name in os.listdir(self.data_path)
+            if name.startswith(f"{BUCKET_COL}=")
+        ]
+        return max(seen) if seen else None
 
     def _persist_layout(self) -> None:
         """Record {sink_mode, n_buckets} at table create (idempotent)."""
@@ -209,6 +249,16 @@ class ParquetMergeSink:
         if audit not in ("fields", "full", "lineage"):
             raise ValueError(f"unknown audit mode: {audit}")
         if batch_id in self._ledger():
+            # Visible marker for the documented commit-order trade: if
+            # the previous attempt died between the ledger commit and
+            # the audit appends, this skip is where that batch's audit
+            # rows are permanently lost — operators grep for it.
+            log.warning(
+                "batch_id=%s already in ledger for %s — skipping replay "
+                "(audit rows for this batch may be absent if the prior "
+                "attempt failed between ledger commit and audit append)",
+                batch_id, self.path,
+            )
             return None
         self._persist_layout()  # streams onto an un-init'd path create the table
         batch_df, touched = self._prepare_batch(batch_df)
@@ -546,6 +596,12 @@ class MorParquetMergeSink(ParquetMergeSink):
         if audit not in ("fields", "full", "lineage"):
             raise ValueError(f"unknown audit mode: {audit}")
         if batch_id in self._ledger():
+            log.warning(
+                "batch_id=%s already in ledger for %s — skipping replay "
+                "(audit rows for this batch may be absent if the prior "
+                "attempt failed between ledger commit and audit append)",
+                batch_id, self.path,
+            )
             # Same-object retry after a partial failure between the
             # ledger commit and the publish rename: the staged delta is
             # complete (the ledger is written after staging), so roll it

@@ -234,3 +234,34 @@ def test_ivf_index_at_rest_prunes_partitions(spark, tmp_path):
 
     on_disk = {d for d in os.listdir(path) if d.startswith("cell=")}
     assert len(on_disk) >= 2  # several cells materialized
+
+
+def test_ivf_index_probe_query_cap_raises(spark, tmp_path):
+    """The probe's driver-side query fetch is guarded: an oversized
+    query set must raise loudly instead of OOMing the driver — the
+    broadcast-small assumption is enforced, not trusted."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.operators.clustering import (
+        ivf_index_probe,
+        ivf_index_write,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_fit(emb, k=8, n_iter=1, dim=64, seed=19)
+    path = str(tmp_path / "ivf_index")
+    ivf_index_write(emb, cents, path)
+
+    q = emb.filter(F.col("vec_id") % 100 == 0)  # 5 queries × nprobe 4 = 20 rows
+    # cap below queries×nprobe → loud error
+    with pytest.raises(ValueError, match="max_query_rows"):
+        ivf_index_probe(spark, path, q, cents, nprobe=4, max_query_rows=19)
+    # cap at exactly queries×nprobe → runs
+    assert (
+        ivf_index_probe(spark, path, q, cents, nprobe=4, max_query_rows=20).count()
+        > 0
+    )

@@ -114,3 +114,34 @@ def test_incremental_dedup_replay_idempotent(spark, tmp_path):
     kept0_replay = {r.doc_id for r in filt.apply_batch(batches[0], batch_id=0).collect()}
     assert kept0_replay == kept0
     assert filt._index().count() == rows_before
+
+
+def test_incremental_dedup_ledger_read_once(spark, tmp_path):
+    """The applied-batch ledger is read from the parquet index ONCE per
+    object lifetime; per-batch index reads are only the strictly-earlier
+    probe slice — NOT a per-batch distinct-collect of the whole index
+    (which is O(batches²) read volume over a long stream)."""
+    batches = _batches(spark)
+    filt = IncrementalLshDedup(spark, str(tmp_path / "dedup"))
+    calls = []
+    orig = filt._index
+    filt._index = lambda: (calls.append(1), orig())[1]
+    for i, b in enumerate(batches):
+        filt.apply_batch(b, batch_id=i).count()
+    # 1 initial ledger read + 1 probe slice per batch
+    assert len(calls) == len(batches) + 1
+    # the publish reconciled the in-memory cache — answering the ledger
+    # question afterwards touches NO storage
+    filt._index = lambda: (_ for _ in ()).throw(AssertionError("index re-read"))
+    assert filt.applied_batch_ids() == {0, 1, 2}
+    # a fresh object resumes the ledger from the parquet index
+    filt2 = IncrementalLshDedup(spark, str(tmp_path / "dedup"))
+    assert filt2.applied_batch_ids() == {0, 1, 2}
+
+    # publish fan-in is bounded: each batch appends at most
+    # PUBLISH_PARTITIONS part-files (no coalesce(1) single-task funnel,
+    # no shuffle-partition-count tiny-file spray)
+    import os
+
+    parts = [f for f in os.listdir(filt.index_path) if f.startswith("part-")]
+    assert len(parts) <= len(batches) * IncrementalLshDedup.PUBLISH_PARTITIONS

@@ -48,6 +48,13 @@ def _norm(v) -> str:
 
 
 def main(only: list[str]) -> int:
+    # flags compose with query names: `check_oracles.py --window foo`
+    # checks foo only if it sits inside the driver's first-50 window
+    window = "--window" in only
+    only = [q for q in only if q != "--window"]
+    unknown_flags = [q for q in only if q.startswith("--")]
+    if unknown_flags:
+        raise SystemExit(f"unknown flag(s): {unknown_flags}")
     spark = get_spark("oracle-check", parallelism=CPUS, shuffle_partitions=CPUS)
     con = duckdb.connect()
     for t in TABLES:
@@ -56,10 +63,9 @@ def main(only: list[str]) -> int:
     oracles = entry.oracle_sql()
     failures = 0
     for i, (name, fn) in enumerate(qs.items()):
-        if only == ["--window"]:
-            if i >= 50:
-                break
-        elif only and name not in only:
+        if window and i >= 50:
+            break
+        if only and name not in only:
             continue
         try:
             got = fn(spark, SF_DIR).toPandas()
