@@ -527,6 +527,7 @@ from .operators.text_dedup import (  # noqa: E402
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_banded_pairs,
 )
 
 
@@ -1878,6 +1879,73 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Banded hamming-≤k SimHash pairs: the tolerance step hamming-0
+#    clustering lacks. 48-bit signatures over 3-word SHINGLE features
+#    (token features converge on the tiny shared synthetic vocabulary:
+#    65k false "pairs" at 16 bits, measured); 4 bands of 12 bits;
+#    pigeonhole guarantees every hamming-≤3 pair shares a whole band,
+#    so the band equi-join is a full-recall candidate generator; exact
+#    bit_count(xor) verifies. Planted append-two-token copies
+#    (doc_id+10^6, every 25th doc) prove the TOLERANCE: their
+#    signatures differ by 1-3 bits — invisible to equal-signature
+#    grouping, caught here. The oracle replays planting, signature and
+#    banding as plain arithmetic — both engines compute the identical
+#    integers. -----------------------------------------------------------
+
+
+@query(
+    "simhash_banded_pairs",
+    f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' xq1 xq2' AS text
+  FROM documents WHERE doc_id % 25 = 0
+),
+norm AS (
+  SELECT doc_id, string_split({_norm_sql('text')}, ' ') AS w FROM base
+),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(w) >= 3
+           THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                               for i in generate_series(1, len(w)-2)])
+           ELSE [] END) AS sh
+    FROM norm
+  )
+),
+bits AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN ({_md5int_sql('sh')} >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM sh, (SELECT unnest(generate_series(0, 47)) AS bit)
+  GROUP BY doc_id, bit
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 12)) & 4095 AS bv
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band)
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM banded x
+JOIN banded y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+""",
+)
+def q_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xq1 xq2")).alias("text"),
+    )
+    return simhash_banded_pairs(docs.unionByName(planted))
+
+
 # -- W1 via the salted two-phase window, checked against the SAME
 #    oracle as the agg form (operators/dedup.py salted_window — the
 #    skew-breaking variant; property-tested equal in
@@ -2501,6 +2569,76 @@ def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_contexts(d, "nt", ctx_size=512, n_shards=8)
 
 
+# -- corpus_to_contexts: the TRAINING-PREP composed flagship (the
+#    mirror of corpus_curation, which proves the cleaning stages):
+#    quality gate → temperature rebalance (p^0.5 over language strata,
+#    NULL-lang docs forming their own stratum) → deterministic
+#    train/val/test hash split → train slice → sequence packing into
+#    512-token contexts. ONE DuckDB oracle replays all four stages, so
+#    the stage BOUNDARIES are proven — each stage's output is the
+#    next's input, the composition a real pipeline runs. Every decision
+#    is a deterministic md5-bucket projection, so the only shuffles in
+#    the whole pipeline are the tiny stratum dim and the n_shards
+#    packing windows. -----------------------------------------------------
+
+
+@query(
+    "corpus_to_contexts",
+    f"""
+WITH d AS (
+  SELECT doc_id, coalesce(lang, '<null>') AS lk,
+         len(string_split_regex(trim(text), '\\s+')) AS nt
+  FROM documents
+),
+good AS (SELECT * FROM d WHERE nt >= 30),
+lc AS (
+  SELECT lk, count(*) AS n_l, pow(count(*), 0.5) AS w_l
+  FROM good GROUP BY lk
+),
+tot AS (SELECT sum(w_l) AS s FROM lc),
+kept AS (
+  SELECT doc_id, nt FROM (
+    SELECT g.doc_id, g.nt,
+           round(least(1.0, 250 * lc.w_l / (tot.s * lc.n_l)), 6) AS p,
+           {_md5int_sql("'temp#' || CAST(doc_id AS VARCHAR)")} % 10000 AS u
+    FROM good g JOIN lc USING (lk) CROSS JOIN tot
+  ) WHERE u < p * 10000
+),
+train AS (
+  SELECT doc_id, nt FROM kept
+  WHERE {_md5int_sql("'split#' || CAST(doc_id AS VARCHAR)")} % 10000 < 9000
+),
+t AS (
+  SELECT doc_id,
+         CAST({_md5int_sql("'pack#' || CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS shard,
+         nt
+  FROM train
+),
+c AS (
+  SELECT doc_id, shard, nt,
+         sum(nt) OVER (PARTITION BY shard ORDER BY doc_id) - nt AS start
+  FROM t
+)
+SELECT doc_id, shard,
+       CAST(floor(start / 512) AS BIGINT) AS ctx_idx,
+       CAST(start % 512 AS BIGINT) AS ctx_offset,
+       CAST(nt AS BIGINT) AS n_tokens
+FROM c
+""",
+)
+def q_corpus_to_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.sampling import hash_split, pack_contexts, temperature_keep
+    from .functions.text_analysis import n_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", n_tokens("text").alias("nt")
+    )
+    good = docs.filter(F.col("nt") >= 30)
+    kept = temperature_keep(good, lang_col="lang", budget=250)
+    train = kept.filter(hash_split("doc_id") == "train")
+    return pack_contexts(train.select("doc_id", "nt"), "nt", ctx_size=512, n_shards=8)
+
+
 # -- temperature-based stratum rebalancing (sampling.temperature_keep):
 #    the p^alpha multilingual sampler — stratum stats are a tiny
 #    broadcast dim, the keep decision a deterministic md5-bucket
@@ -2878,7 +3016,6 @@ QUERY_ORDER: list[str] = [
     # EP1 flagship + CDC core (W1/J1/M1-M16/F4/S8/S10)
     "cdc_apply",
     "cdc_dedup_max_lsn",
-    "cdc_dedup_salted",
     "cdc_dup_keys",
     "cdc_route_counts",
     "cdc_lookup_join",
@@ -2890,14 +3027,11 @@ QUERY_ORDER: list[str] = [
     "online_classifier_counts",
     "mismatch_join",
     "dup_role_report",
-    "exists_dup_keys",
     "field_change_counts",
     "field_audit_diffs",
-    "mat_type_analysis",
     "map_lookup_location",
     "pipe_parse_derive",
     "local_id_assign",
-    "conv_turns_ordered",
     "conv_sessions",
     # OLAP / window / set ops
     "asof_plan_lookup",
@@ -2906,13 +3040,13 @@ QUERY_ORDER: list[str] = [
     "value_percentiles",
     "keys_new_in_feed",
     "keys_touched_overlap",
-    "approx_distinct_convs",
     # LLM-pipeline: dedup family
     "exact_dedup",
     "minhash_lsh_pairs",
     "ngram_neardup_pairs",
-    "simhash_dup_clusters",
+    "simhash_banded_pairs",
     "dedup_components",
+    "first_seen_docs",
     # LLM-pipeline: similarity search / clustering
     "lsh_multitable_ann_topk",
     "ivf_ann_topk",
@@ -2920,7 +3054,7 @@ QUERY_ORDER: list[str] = [
     "ivf_trained_topk",
     "semantic_neardup_pairs",
     "embedding_neardup_multitable",
-    # LLM-pipeline: text analysis / sampling / composed flagship
+    # LLM-pipeline: text analysis / sampling / composed flagships
     "lang_id",
     "text_quality",
     "pii_redaction",
@@ -2929,33 +3063,46 @@ QUERY_ORDER: list[str] = [
     "stratified_cap_by_lang",
     "temperature_sample",
     "vocab_top_ngrams",
-    "corpus_curation",
-    # ---- rotation tail (slot 51+): operators transitively proven by an
-    # in-window query; each holds a green row in CORRECTNESS_r01/r02.
-    # (pack_contexts is new in r03 and starts in the tail — local-gate
-    # proven, rotates into the window next round; embedding_cosine_topk
-    # and topk_orders_per_segment rotated out with r01+r02 green rows,
-    # their operators covered in-window by the ANN family and the
-    # stratified-cap WindowGroupLimit respectively;
-    # embedding_neardup_pairs rotated out with its r02 green row —
-    # the in-window multitable variant runs a superset of its path;
-    # multimodal_features rotated out with its r02 green row — its
-    # mapInPandas family holds three r02 rows, media_resize and
-    # frame_sample_counts continue to pin the plumbing from the tail;
-    # windowed_metrics (r02 green) rotated out — the A2 counter family
-    # stays pinned in-window by cdc_route_counts + rollup_route_metrics;
-    # fuzzy_perfect_pairs (r02 green) rotated out — the F3 perfect path
-    # stays pinned in-window by cdc_apply_perfect_gate;
-    # dup_group_members (r02 green) rotated out — the A1 aggregation
-    # stays pinned in-window by cdc_dup_keys, the join-back shape by
-    # the merge-family joins. quality_calibration and source_mix_report
-    # are new in r03 and start in the tail (local-gate proven at two
-    # scale factors, rotate into the window next round, like
-    # pack_contexts).)
     "pack_contexts",
     "quality_calibration",
     "source_mix_report",
-    "first_seen_docs",
+    "corpus_to_contexts",
+    "corpus_curation",
+    # ---- rotation tail (slot 51+): operators transitively proven by an
+    # in-window query; each holds a green driver row from a prior round
+    # (per-query last-proven round table: README §"Correctness proof
+    # window & rotation") and re-passes the local gate at HEAD each
+    # round. r04 rotation: pack_contexts / quality_calibration /
+    # source_mix_report / first_seen_docs promoted into the window
+    # (shipped r03 with local-gate proofs only) plus the new
+    # simhash_banded_pairs; displaced — approx_distinct_convs (an HLL
+    # estimate has no hash oracle by definition: err:no_oracle in
+    # r01-r03, ±5%-pinned by test_functions instead, the slot proved
+    # nothing), cdc_dedup_salted (r01+r03 green; W1 pinned in-window by
+    # cdc_dedup_max_lsn against the SAME oracle + property-tested
+    # equal), exists_dup_keys (r01+r03 green; J2 semi-join shape pinned
+    # by the in-window merge family), mat_type_analysis (r01+r03 green;
+    # §2.8 plugin hooks pinned by test_policy), simhash_dup_clusters
+    # (r01+r02+r03 green; the signature family now pinned in-window by
+    # simhash_banded_pairs, which computes the identical fingerprints
+    # plus banding), conv_turns_ordered (r01+r02+r03 green; W3 held the
+    # longest streak in the registry — displaced for corpus_to_contexts).
+    # Earlier rotations (r03): embedding_cosine_topk and
+    # topk_orders_per_segment (covered by the ANN family and the
+    # stratified-cap WindowGroupLimit), embedding_neardup_pairs (the
+    # multitable variant runs a superset of its path),
+    # multimodal_features (media_resize and frame_sample_counts pin the
+    # mapInPandas plumbing from the tail), windowed_metrics (A2 counters
+    # pinned by cdc_route_counts + rollup_route_metrics),
+    # fuzzy_perfect_pairs (F3 perfect path pinned by
+    # cdc_apply_perfect_gate), dup_group_members (A1 pinned by
+    # cdc_dup_keys).
+    "approx_distinct_convs",
+    "cdc_dedup_salted",
+    "exists_dup_keys",
+    "mat_type_analysis",
+    "simhash_dup_clusters",
+    "conv_turns_ordered",
     "dup_group_members",
     "embedding_neardup_pairs",
     "multimodal_features",

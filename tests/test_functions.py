@@ -678,3 +678,63 @@ def test_temperature_keep_null_lang_stratum(spark):
     assert len(kept) == 80
     assert kept[kept.lang.isna()].shape[0] == 40
     assert (kept.keep_prob == 1.0).all()
+
+
+def test_simhash_banded_pairs_tolerance_and_recall(spark):
+    """Banded SimHash is the hamming-TOLERANT member of the simhash
+    family: planted token-appended copies whose 48-bit shingle
+    signatures differ by 1-3 bits are invisible to equal-signature
+    grouping but MUST all be caught by the band join (pigeonhole: with
+    4 bands, any hamming-<=3 pair shares a whole 12-bit band, so recall
+    over true hamming-<=3 pairs is exactly 1 by construction — pinned
+    here against an independently computed ground truth), and the
+    emitted hamming values are the exact bit_count(xor) distances."""
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.operators.text_dedup import (
+        simhash,
+        simhash_banded_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    planted = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xq1 xq2")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+
+    # ground truth: exact hamming of every planted (orig, copy) pair
+    sigs = simhash(corpus, n_bits=48, shingle_k=3)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    truth = {
+        (r.a, r.b): r.h
+        for r in a.join(b, F.col("b.doc_id") - F.col("a.doc_id") == 1_000_000)
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("h"),
+        )
+        .collect()
+    }
+    want = {p: h for p, h in truth.items() if h <= 3}
+    assert want, "perturbation too strong: no planted pair within hamming 3"
+    assert any(h > 0 for h in want.values()), "tolerance untested: all hamming-0"
+
+    got = {
+        (r.a, r.b): r.hamming
+        for r in simhash_banded_pairs(corpus).collect()
+        if r.b - r.a == 1_000_000
+    }
+    # full recall over true hamming-<=3 planted pairs, exact distances
+    assert got == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divide"):
+        simhash_banded_pairs(corpus, n_bits=48, n_bands=5)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_banded_pairs(corpus, n_bands=4, max_hamming=4)
