@@ -2952,6 +2952,11 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tokens("text")).cast("bigint").alias("n_tokens"),
     )
+    # single-partition window over the aggregated (source, lang) dim —
+    # the bench-log "WindowExec: No Partition Defined" warning comes
+    # from here and is DELIBERATE: input is ≤ |sources|×|langs| rows,
+    # never the corpus (the alternative scalar cross join plans as a
+    # BroadcastNestedLoopJoin)
     total = F.sum("n_docs").over(Window.partitionBy())
     return agg.withColumn(
         "doc_share", F.round(F.col("n_docs").cast("double") / total, 4)

@@ -103,7 +103,10 @@ def temperature_keep(
     # normalizer sum over the stratum dim itself: a single-partition
     # window over one-row-per-language (bounded small by definition) —
     # avoids a scalar cross join, which would plan as a
-    # BroadcastNestedLoopJoin on the corpus side
+    # BroadcastNestedLoopJoin on the corpus side. This line is the
+    # source of the "WindowExec: No Partition Defined" warning in bench
+    # logs: DELIBERATE and bounded — the window input is the aggregated
+    # stratum dim (≤ languages rows), never the corpus.
     lc = lc.withColumn("_s", F.sum("_w_l").over(Window.partitionBy()))
     prob = F.round(
         F.least(
