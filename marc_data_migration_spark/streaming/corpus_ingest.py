@@ -65,30 +65,29 @@ class CorpusIngest:
         gate = (feats["n_tokens"] >= self.min_tokens) & (
             feats["top_token_ratio"] <= self.max_top_token_ratio
         )
-        # n_in and n_good in ONE aggregation over ONE scan of the batch
-        # (the old separate docs.count()/clean.count() pair scanned the
-        # batch twice and evaluated the quality features twice)
-        stats = docs.select(gate.cast("long").alias("_ok")).agg(
-            F.count(F.lit(1)).alias("n_in"), F.sum("_ok").alias("n_good")
+        # The gate is evaluated ONCE per batch, as a boolean COLUMN in a
+        # persisted projection; everything else derives from the cache:
+        # - the n_in/n_good stats are one aggregation over the cached
+        #   rows (the token-feature HOFs are the dominant per-row cost
+        #   — re-running them for a second counting scan doubles the
+        #   hot path);
+        # - `clean` (gate filter + PII scrub) feeds both the dedup
+        #   probe's signature computation and the kept-docs commit.
+        # Materializing `_ok` as a column (rather than a filter
+        # predicate) also keeps the HOFs in a codegen'd Project — a
+        # Filter node carrying them directly is evaluated interpreted,
+        # measured 14× slower on this exact path.
+        gated = docs.select("doc_id", "text", gate.alias("_ok")).persist()
+        stats = gated.agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(F.col("_ok").cast("long")).alias("n_good"),
         ).first()
         n_in = int(stats["n_in"])
         n_good = int(stats["n_good"] or 0)
         # scrub BEFORE dedup so the published band index and the stored
-        # corpus describe the same text. Persisted for the batch: the
-        # gate + PII-scrub projection chain feeds BOTH the dedup probe
-        # (signature computation) and the kept-docs commit — without the
-        # cache it would execute once per consumer (3× per batch, the
-        # hot path of the ingest stream). The gate is materialized as a
-        # boolean COLUMN and filtered by name: a Filter node carrying
-        # the token-feature HOF expressions directly is evaluated
-        # interpreted (no codegen) — measured 14× slower on this exact
-        # path — while a codegen'd Project + trivial column filter is
-        # not.
-        clean = (
-            docs.select("doc_id", "text", gate.alias("_ok"))
-            .filter(F.col("_ok"))
-            .select("doc_id", redact_pii("text").alias("text"))
-            .persist()
+        # corpus describe the same text
+        clean = gated.filter(F.col("_ok")).select(
+            "doc_id", redact_pii("text").alias("text")
         )
         kept = self.dedup.apply_batch(clean, batch_id).persist()
         n_kept = kept.count()
@@ -101,7 +100,7 @@ class CorpusIngest:
             .parquet(self.docs_path)
         )
         kept.unpersist()
-        clean.unpersist()
+        gated.unpersist()
         metrics = self.spark.createDataFrame(
             [
                 (

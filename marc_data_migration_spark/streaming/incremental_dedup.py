@@ -59,16 +59,29 @@ class IncrementalLshDedup:
         self.fast_hash = self._resolve_hash(fast_hash)
 
     def _resolve_hash(self, requested: bool | None) -> bool:
-        """The hash family is an INDEX PROPERTY, persisted at create
-        (mirrors the parquet sink's table-properties discipline): bands
-        built with one family never collide with bands built with the
-        other, so probing a stored index with the wrong family silently
-        disables dedup. New indexes default to the JVM-native xxhash64
-        family (5.8× the md5 signature throughput, measured) — the
-        stream index is internal state pinned by invariants, unlike the
-        oracle-replayed batch queries, so md5's cross-engine
-        portability buys nothing here. An explicit ``fast_hash``
-        conflicting with the stored property raises."""
+        """The hash family is an INDEX PROPERTY (mirrors the parquet
+        sink's table-properties discipline): bands built with one
+        family never collide with bands built with the other, so
+        probing a stored index with the wrong family silently disables
+        dedup. Resolution order:
+
+        - props file present → the stored family wins; an explicit
+          conflicting ``fast_hash`` raises.
+        - no props but a band_index already exists → a LEGACY index,
+          built before the family was configurable, i.e. with the
+          portable md5 family — resolve to ``fast_hash=False`` (an
+          explicit ``fast_hash=True`` over it raises: xxhash probes
+          would never collide with the stored md5 bands).
+        - genuinely new index → default to the JVM-native xxhash64
+          family (5.8× the md5 signature throughput, measured); the
+          stream index is internal state pinned by invariants, unlike
+          the oracle-replayed batch queries, so md5's cross-engine
+          portability buys nothing here.
+
+        Nothing is WRITTEN here: construction must be side-effect-free
+        (a status path building this object to read metrics must not
+        commit a hash-family choice, or fail on a read-only mount) —
+        the choice persists at first publish (_persist_hash)."""
         props_path = os.path.join(self.path, PROPS_FILE)
         if os.path.isfile(props_path):
             with open(props_path) as f:
@@ -81,11 +94,29 @@ class IncrementalLshDedup:
                     "never collide with the stored bands"
                 )
             return stored
-        resolved = True if requested is None else requested
+        if os.path.isdir(self.index_path):
+            if requested is True:
+                raise ValueError(
+                    f"dedup index {self.path} predates the hash-family "
+                    "property and therefore holds md5-family bands; opened "
+                    "with fast_hash=True — xxhash probes would silently "
+                    "never collide with the stored bands"
+                )
+            return False
+        return True if requested is None else requested
+
+    def _persist_hash(self) -> None:
+        """Record the resolved family at first publish (idempotent,
+        atomic tmp+replace — a crash mid-write must not brick every
+        subsequent open with a truncated JSON)."""
+        props_path = os.path.join(self.path, PROPS_FILE)
+        if os.path.isfile(props_path):
+            return
         os.makedirs(self.path, exist_ok=True)
-        with open(props_path, "w") as f:
-            json.dump({"fast_hash": resolved}, f)
-        return resolved
+        tmp = props_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"fast_hash": self.fast_hash}, f)
+        os.replace(tmp, props_path)
 
     def _index(self) -> DataFrame:
         if not os.path.isdir(self.index_path):
@@ -150,6 +181,7 @@ class IncrementalLshDedup:
         )
         kept_bands = fresh.join(losers, "doc_id", "left_anti")
         if not replay:
+            self._persist_hash()  # the first publish commits the family
             (
                 kept_bands.withColumn("batch_id", F.lit(batch_id).cast("long"))
                 .select("band", "bh", "doc_id", "batch_id")

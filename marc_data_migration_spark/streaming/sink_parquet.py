@@ -112,28 +112,62 @@ class ParquetMergeSink:
             # A table that predates the props file: defaulting to 32
             # over data actually bucketed differently would make
             # _read_buckets miss base rows and silently bypass the LSN
-            # idempotence guard — infer from the bucket=N directories
-            # instead (they are the layout) and refuse a contradiction.
+            # idempotence guard. The bucket=N directory set alone can't
+            # recover the layout either — a sparse table whose top
+            # buckets happen to be empty makes max+1 UNDER-count, and
+            # _persist_layout would then lock the wrong value in. But
+            # the bucket value is a pure function of conv_id
+            # (bucket_expr), so the write-time layout is VERIFIABLE
+            # from the data itself: one aggregate scan counts, per
+            # candidate count, the rows whose stored bucket disagrees
+            # with bucket_expr(candidate). Only the true layout scores
+            # zero on a non-trivial table.
             observed = self._observed_max_bucket()
-            if observed is not None:
-                inferred = observed + 1
-                if n_buckets is not None:
-                    if observed >= n_buckets:
-                        raise ValueError(
-                            f"table {self.path} has bucket directories up to "
-                            f"bucket={observed} but was opened with "
-                            f"n_buckets={n_buckets}; rows above the flag's "
-                            "range would be invisible to the merge."
-                        )
-                    return n_buckets
-                log.warning(
-                    "table %s has no %s; inferred n_buckets=%d from its "
-                    "bucket=N directories (pass n_buckets explicitly if the "
-                    "table was written sparser than its bucket count)",
-                    self.path, PROPS_FILE, inferred,
+            if observed is None:
+                return 32 if n_buckets is None else n_buckets
+            if n_buckets is not None and observed >= n_buckets:
+                raise ValueError(
+                    f"table {self.path} has bucket directories up to "
+                    f"bucket={observed} but was opened with "
+                    f"n_buckets={n_buckets}; rows above the flag's "
+                    "range would be invisible to the merge."
                 )
-                return inferred
-            return 32 if n_buckets is None else n_buckets
+            cands: list[int] = []
+            for n in ([n_buckets] if n_buckets is not None else []) + [
+                observed + 1,
+                32,
+            ]:
+                if n > observed and n not in cands:
+                    cands.append(n)
+            consistent = self._consistent_bucket_counts(cands)
+            if n_buckets is not None:
+                if n_buckets not in consistent:
+                    raise ValueError(
+                        f"table {self.path} has no {PROPS_FILE} and its rows "
+                        f"do not match n_buckets={n_buckets} "
+                        "(bucket != bucket_expr(conv_id) for some rows); "
+                        "the flag contradicts the write-time layout."
+                    )
+                return n_buckets
+            if len(consistent) == 1:
+                log.warning(
+                    "table %s has no %s; n_buckets=%d verified against the "
+                    "data (stored bucket == bucket_expr(conv_id) for every "
+                    "row; candidates tested: %s)",
+                    self.path, PROPS_FILE, consistent[0], cands,
+                )
+                return consistent[0]
+            if not consistent:
+                raise ValueError(
+                    f"table {self.path} has no {PROPS_FILE} and no candidate "
+                    f"bucket count in {cands} matches its rows; open with an "
+                    "explicit n_buckets matching the write-time layout."
+                )
+            raise ValueError(
+                f"table {self.path} has no {PROPS_FILE} and multiple bucket "
+                f"counts {consistent} are consistent with its (small) data; "
+                "open with an explicit n_buckets to disambiguate."
+            )
         if props["sink_mode"] != self.SINK_MODE:
             raise ValueError(
                 f"table {self.path} has sink_mode={props['sink_mode']!r} but was "
@@ -150,8 +184,7 @@ class ParquetMergeSink:
 
     def _observed_max_bucket(self) -> int | None:
         """Highest bucket=N directory under data/, or None for a table
-        with no data yet. md5/xxhash bucketing fills every bucket at any
-        realistic row count, so max+1 recovers the write-time layout."""
+        with no data yet."""
         if not os.path.isdir(self.data_path):
             return None
         seen = [
@@ -160,6 +193,20 @@ class ParquetMergeSink:
             if name.startswith(f"{BUCKET_COL}=")
         ]
         return max(seen) if seen else None
+
+    def _consistent_bucket_counts(self, candidates: list[int]) -> list[int]:
+        """Candidates whose bucket_expr reproduces the STORED bucket of
+        every base row — one aggregate scan for all candidates (only
+        runs on the rare open of a legacy props-less table)."""
+        df = self.spark.read.parquet(self.data_path)
+        aggs = [
+            F.sum(
+                (F.col(BUCKET_COL) != bucket_expr(n)).cast("long")
+            ).alias(f"_m{i}")
+            for i, n in enumerate(candidates)
+        ]
+        row = df.agg(*aggs).first()
+        return [n for i, n in enumerate(candidates) if not row[f"_m{i}"]]
 
     def _persist_layout(self) -> None:
         """Record {sink_mode, n_buckets} at table create (idempotent)."""

@@ -116,13 +116,14 @@ def test_corpus_ingest_zero_batches_metrics_empty(spark, tmp_path):
 
 
 def test_corpus_ingest_batch_single_pass(spark, tmp_path):
-    """The per-batch hot path is single-pass over the batch input:
-    n_in/n_low_quality come from ONE aggregation (one scan) and the
-    gate+PII-scrub chain is persisted, so the dedup probe and the
-    commit read the cache — 2 scans of the input total. The pre-fix
-    shape (separate docs.count()/clean.count() + unpersisted chain)
-    scanned the input 4+ times. Pinned with an accumulator-instrumented
-    source: every evaluation of an input partition bumps it."""
+    """The per-batch hot path is single-pass over the batch input: the
+    quality gate is evaluated once into a persisted boolean-column
+    projection, and the stats aggregation, the dedup probe, and the
+    commit all read that cache — 1 scan of the input total. The
+    pre-fix shape (separate docs.count()/clean.count() + unpersisted
+    chain) scanned the input 4+ times. Pinned with an
+    accumulator-instrumented source: every evaluation of an input
+    partition bumps it."""
     chunks = _chunks_pd(spark)
     data = [(int(r.doc_id), str(r.text)) for r in chunks[0].itertuples(index=False)]
     sc = spark.sparkContext
@@ -138,7 +139,7 @@ def test_corpus_ingest_batch_single_pass(spark, tmp_path):
     ingest = CorpusIngest(spark, str(tmp_path / "corpus"))
     ingest.apply_batch(docs, 0)
     scans = acc.value / n_parts
-    assert scans <= 2, f"batch input scanned {scans} times (budget: 2)"
+    assert scans <= 1, f"batch input scanned {scans} times (budget: 1)"
     # metrics semantics unchanged by the single-pass rewrite
     (m,) = ingest.metrics().collect()
     assert m.n_in == len(data)

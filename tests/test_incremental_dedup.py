@@ -155,17 +155,25 @@ def test_incremental_dedup_ledger_read_once(spark, tmp_path):
 
 
 def test_incremental_dedup_hash_family_is_index_property(spark, tmp_path):
-    """The hash family is persisted at index create and enforced at
+    """The hash family is persisted at first publish and enforced at
     open: bands from the two families never collide with each other,
     so probing a stored index with the wrong family would silently
     disable dedup — a conflicting open must raise instead."""
+    import os
+
     import pytest
+
+    from marc_data_migration_spark.streaming.incremental_dedup import PROPS_FILE
 
     batches = _batches(spark)
     path = str(tmp_path / "dedup")
     filt = IncrementalLshDedup(spark, path)  # new index: defaults fast
     assert filt.fast_hash is True
+    # construction is side-effect-free: no directory, no props yet (a
+    # status path building the object must not commit the choice)
+    assert not os.path.exists(os.path.join(path, PROPS_FILE))
     filt.apply_batch(batches[0], batch_id=0).count()
+    assert os.path.isfile(os.path.join(path, PROPS_FILE))
 
     # resume without an explicit choice inherits the stored family
     filt2 = IncrementalLshDedup(spark, path)
@@ -179,3 +187,39 @@ def test_incremental_dedup_hash_family_is_index_property(spark, tmp_path):
     assert slow.fast_hash is False
     kept = slow.apply_batch(batches[0], batch_id=0)
     assert kept.count() > 0
+
+
+def test_incremental_dedup_legacy_index_resolves_md5(spark, tmp_path):
+    """A band_index that predates the props file was built with the
+    portable md5 family: opening it must resolve to fast_hash=False
+    (NOT the fast default — xxhash probes would silently never collide
+    with the stored md5 bands, re-admitting every historical dup), and
+    an explicit fast_hash=True over it must raise."""
+    import os
+
+    import pytest
+
+    from marc_data_migration_spark.streaming.incremental_dedup import PROPS_FILE
+
+    batches = _batches(spark)
+    path = str(tmp_path / "dedup")
+    # build an md5 index, then delete the props file to simulate legacy
+    old = IncrementalLshDedup(spark, path, fast_hash=False)
+    kept0 = {r.doc_id for r in old.apply_batch(batches[0], batch_id=0).collect()}
+    os.remove(os.path.join(path, PROPS_FILE))
+
+    legacy = IncrementalLshDedup(spark, path)
+    assert legacy.fast_hash is False
+    with pytest.raises(ValueError, match="md5-family"):
+        IncrementalLshDedup(spark, path, fast_hash=True)
+
+    # the resolved family actually probes the stored bands: batch-1
+    # copies of batch-0 docs are still dropped after the legacy open
+    dups = batches[0].limit(0).unionByName(
+        batches[0].filter(F.col("doc_id") % 30 == 0).select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+        )
+    )
+    kept1 = {r.doc_id for r in legacy.apply_batch(dups, batch_id=1).collect()}
+    assert kept1 == set()
+    assert kept0  # sanity: batch 0 kept something to collide with

@@ -158,3 +158,33 @@ def test_mor_same_object_retry_publishes_staged_delta(spark, tmp_path, monkeypat
     assert _final_text(sink.read()) == list(
         zip(want.conv_id, want.turn_idx, want.text.fillna("<N>"), want.lsn)
     )
+
+
+def test_legacy_table_bucket_count_verified_from_data(spark, tmp_path):
+    """A table that predates the props file: the bucket count is
+    VERIFIED against the data (stored bucket == bucket_expr(conv_id)
+    per candidate), not guessed from the directory names — a sparse
+    table whose top buckets happen to be empty would make max+1
+    under-count and permanently lock the wrong layout in."""
+    # dense case: 4 buckets, all materialized → unique verified answer 4
+    _, sink = _init_sink(spark, tmp_path, cls=ParquetMergeSink, n_buckets=4)
+    os.remove(os.path.join(sink.path, "_table_properties.json"))
+    reopened = ParquetMergeSink(spark, sink.path)
+    assert reopened.n_buckets == 4
+
+    # sparse case: 32 buckets but only 20 convs → top buckets likely
+    # empty; the verified inference must still answer 32, never max+1
+    base_pd = feedgen.gen_transcripts(n_convs=20, seed=11)
+    sparse = ParquetMergeSink(spark, str(tmp_path / "sparse"), n_buckets=32)
+    sparse.init(spark.createDataFrame(base_pd))
+    observed = sparse._observed_max_bucket()
+    os.remove(os.path.join(sparse.path, "_table_properties.json"))
+    reopened = ParquetMergeSink(spark, str(tmp_path / "sparse"))
+    assert reopened.n_buckets == 32
+    assert observed is not None  # sanity: there was data to verify
+
+    # a contradicted explicit flag raises instead of proceeding
+    # (props still absent: opening never re-persists them — only a
+    # merge/init does, via _persist_layout)
+    with pytest.raises(ValueError, match="contradicts|bucket"):
+        ParquetMergeSink(spark, str(tmp_path / "sparse"), n_buckets=64)
