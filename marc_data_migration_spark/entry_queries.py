@@ -829,6 +829,128 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint(normalize_text("text")).alias("fp"))
 
 
+# -- Winnowed passage-level dup pairs (Schleimer–Wilkerson–Aiken local
+#    fingerprinting): docs embedding the same ≥(w+k-1)-word span are
+#    paired even when doc-level similarity is low. Planted: every 40th
+#    doc spawns a copy (+10^6) of its FIRST 25 words plus 30 junk
+#    tokens — low whole-doc jaccard, one long shared passage. The
+#    oracle replays shingle-hash → window-min selection → inverted-
+#    index join as DuckDB list comprehensions. ---------------------------
+
+_PASSAGE_JUNK = " " + " ".join(f"zq{i}" for i in range(30))
+
+
+@query(
+    "passage_dup_pairs",
+    f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(string_split(text, ' ')[1:25], ' ') || '{_PASSAGE_JUNK}' AS text
+  FROM documents WHERE doc_id % 40 = 0
+),
+norm AS (
+  SELECT doc_id, string_split({_norm_sql('text')}, ' ') AS wd FROM corpus
+),
+hs AS (
+  SELECT doc_id,
+         CASE WHEN len(wd) >= 4
+              THEN [{_md5int_sql("array_to_string(wd[i:i+3], ' ')")}
+                    for i in generate_series(1, len(wd)-3)]
+              ELSE [] END AS hs
+  FROM norm
+),
+sel AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4
+              THEN list_distinct([list_min(hs[i:i+3])
+                                  for i in generate_series(1, len(hs)-3)])
+              ELSE list_distinct(hs) END AS sel
+  FROM hs
+),
+fps AS (SELECT DISTINCT doc_id, unnest(sel) AS fp FROM sel),
+rare AS (
+  SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY fp) WHERE df <= 1000
+),
+idx AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp)
+SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared_fps
+FROM idx x JOIN idx y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id HAVING count(*) >= 2
+""",
+)
+def q_passage_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_dedup import shared_passage_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 25)),
+            F.lit(_PASSAGE_JUNK),
+        ).alias("text"),
+    )
+    return shared_passage_pairs(docs.unionByName(planted))
+
+
+# -- Cross-split exact contamination: the exact-duplicate complement of
+#    the n-gram decontam_overlap — a doc whose fingerprint appears in
+#    more than one train/val/test split leaks training content into
+#    eval. Composes doc_fingerprint × hash_split; planted copies
+#    (doc_id+10^6, every 20th doc — the synthetic corpus has no natural
+#    exact dups) land in hash-independent splits, so a deterministic
+#    fraction crosses the train boundary. Scale shape: fingerprint +
+#    split are projections; the only shuffle is the groupBy(fp) whose
+#    map-side partial agg collapses per-partition duplicates. ---------
+
+
+@query(
+    "split_contamination",
+    f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+),
+d AS (
+  SELECT doc_id,
+         {_fingerprint_sql(_norm_sql('text'))} AS fp,
+         CASE
+           WHEN {_md5int_sql("'split#' || CAST(doc_id AS VARCHAR)")} % 10000 < 9000 THEN 'train'
+           WHEN {_md5int_sql("'split#' || CAST(doc_id AS VARCHAR)")} % 10000 < 9500 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM corpus
+)
+SELECT fp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+       array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
+FROM d GROUP BY fp HAVING count(DISTINCT split) > 1
+""",
+)
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    d = docs.unionByName(planted).select(
+        fingerprint(normalize_text("text")).alias("fp"),
+        hash_split("doc_id").alias("split"),
+    )
+    return (
+        d.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("split").cast("bigint").alias("n_splits"),
+            F.concat_ws(",", F.sort_array(F.collect_set("split"))).alias("splits"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+
+
 # -- J3: mismatch comparison join (equi-join + inequality residual) ------
 
 
@@ -3102,6 +3224,12 @@ QUERY_ORDER: list[str] = [
     # fuzzy_perfect_pairs (F3 perfect path pinned by
     # cdc_apply_perfect_gate), dup_group_members (A1 pinned by
     # cdc_dup_keys).
+    # split_contamination and passage_dup_pairs are new in r04 and
+    # start in the tail (window full of never-proven queries) —
+    # local-gate proven at two scale factors, rotate in when slots
+    # free up
+    "split_contamination",
+    "passage_dup_pairs",
     "approx_distinct_convs",
     "cdc_dedup_salted",
     "exists_dup_keys",

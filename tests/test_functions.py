@@ -738,3 +738,52 @@ def test_simhash_banded_pairs_tolerance_and_recall(spark):
         simhash_banded_pairs(corpus, n_bits=48, n_bands=5)
     with _pytest.raises(ValueError, match="pigeonhole"):
         simhash_banded_pairs(corpus, n_bands=4, max_hamming=4)
+
+
+def test_winnow_passage_recall_and_locality(spark):
+    """Winnowed passage fingerprints detect EMBEDDED passages that
+    doc-level similarity misses: planted docs consisting of a 25-word
+    span copied from their source plus 30 junk tokens (whole-doc
+    jaccard << the near-dup thresholds) must pair with the source —
+    the winnowing guarantee is that any shared span of at least
+    w+k-1 words shares a selected fingerprint."""
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.operators.text_dedup import (
+        ngram_jaccard_pairs,
+        shared_passage_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    junk = " " + " ".join(f"zq{i}" for i in range(30))
+    planted = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 25)),
+            F.lit(junk),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    n_planted = planted.count()
+
+    pairs = shared_passage_pairs(corpus).persist()
+    try:
+        hit = pairs.filter(
+            (F.col("b") - F.col("a") == 1_000_000) & (F.col("a") % 40 == 0)
+        ).count()
+        # near-total recall (a <25-word source doc can undershoot the
+        # guarantee span; everything else must hit)
+        assert hit >= n_planted - 1, f"passage recall {hit}/{n_planted}"
+
+        # locality: the same planted pairs are INVISIBLE to the
+        # doc-level jaccard detector at its standard threshold — this
+        # is the gap the passage family exists to close
+        doc_level = ngram_jaccard_pairs(corpus, threshold=0.5, df_max=None)
+        doc_hits = doc_level.filter(
+            (F.col("b") - F.col("a") == 1_000_000) & (F.col("a") % 40 == 0)
+        ).count()
+        assert doc_hits < hit
+    finally:
+        pairs.unpersist()
