@@ -3125,6 +3125,189 @@ def q_first_seen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_seen_batch(base.unionByName(dups))
 
 
+# -- bigram-LM document scoring (text_analysis.lm_doc_scores): the
+#    CCNet/KenLM pretraining quality stage — add-alpha bigram model
+#    trained on the corpus itself (a curated reference corpus slots in
+#    with the identical plan), each doc scored by mean bigram
+#    log-probability + perplexity. LM broadcasts; corpus shuffles once
+#    on doc_id for the mean ---------------------------------------------
+
+
+@query(
+    "lm_doc_perplexity",
+    f"""
+WITH dw AS (
+  SELECT doc_id, string_split({_norm_sql('text')}, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 2
+         THEN [array_to_string(w[i:i+1], ' ') for i in generate_series(1, len(w)-1)]
+         ELSE [] END) AS ngram
+  FROM dw
+), big AS (
+  SELECT ngram, count(*) AS c_big FROM grams GROUP BY ngram
+), ctx AS (
+  SELECT split_part(ngram, ' ', 1) AS w1, count(*) AS c_ctx FROM grams GROUP BY 1
+), voc AS (
+  SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(w) AS tok FROM dw)
+), lm AS (
+  SELECT b.ngram, ln((b.c_big + 0.5) / (c.c_ctx + 0.5 * voc.v)) AS logp
+  FROM big b JOIN ctx c ON c.w1 = split_part(b.ngram, ' ', 1) CROSS JOIN voc
+), per_doc AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(lm.logp), 4) AS avg_logp
+  FROM grams g JOIN lm USING (ngram) GROUP BY g.doc_id
+)
+SELECT doc_id, n_bigrams, avg_logp, round(exp(-avg_logp), 2) AS ppl FROM per_doc
+""",
+)
+def q_lm_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text_analysis import lm_doc_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return lm_doc_scores(docs)
+
+
+# -- IVF-PQ ANN (clustering.pq_fit/pq_codes/ivfpq_topk): trained coarse
+#    cells restrict candidates, PQ codes + ADC lookup tables score them
+#    — the corpus side of the probe is the slim (id, cell, m codes)
+#    frame, never the vectors. The oracle replays BOTH training
+#    schedules (coarse k-means + m per-subspace codebooks) as unrolled
+#    CTEs — 6-decimal rounding re-syncs engines per iteration, so
+#    codes, tables and ADC sums are digit-identical ---------------------
+
+
+def _km_block_ctes(
+    src: str, prefix: str, k: int, n_iter: int, dim: int, seed: int
+) -> list[str]:
+    """Generalized form of _kmeans_ctes's iteration blocks: the same
+    LCG-literal init / expanded-form distances / 6-decimal mean
+    rounding / empty-cell coalesce, reading vectors from CTE ``src``
+    and emitting {prefix}c0, {prefix}a1..{prefix}c{n_iter}."""
+    from .operators.similarity_search import random_planes
+
+    init = "\n  UNION ALL ".join(
+        f"SELECT {i} AS cell, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]) AS c"
+        for i, c in enumerate(random_planes(k, dim, seed))
+    )
+    parts = [f"{prefix}c0 AS (\n  {init}\n)"]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""{prefix}a{i} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM (SELECT e.vec_id, e.v, c.cell, {_KM_DIST} AS d
+          FROM {src} e CROSS JOIN {prefix}c{i - 1} c)
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""{prefix}m{i} AS (
+  SELECT cell, list(m ORDER BY pos) AS c FROM (
+    SELECT a.cell, t.pos, round(avg(a.v[CAST(t.pos AS INT) + 1]), 6) AS m
+    FROM {prefix}a{i} a, range({dim}) t(pos)
+    GROUP BY a.cell, t.pos
+  ) GROUP BY cell
+)"""
+        )
+        parts.append(
+            f"""{prefix}c{i} AS (
+  SELECT p.cell, coalesce(m.c, p.c) AS c
+  FROM {prefix}c{i - 1} p LEFT JOIN {prefix}m{i} m ON m.cell = p.cell
+)"""
+        )
+    return parts
+
+
+def _ivfpq_sql(
+    m: int = 4,
+    k_codes: int = 8,
+    pq_iter: int = 2,
+    dim: int = 64,
+    pq_seed: int = 41,
+    nprobe: int = 4,
+    k_top: int = 3,
+) -> str:
+    sub = dim // m
+    parts: list[str] = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(f"s{j} AS (\n  SELECT vec_id, v[{lo}:{hi}] AS v FROM e\n)")
+        parts += _km_block_ctes(f"s{j}", f"p{j}", k_codes, pq_iter, sub, pq_seed + j)
+        parts.append(
+            f"""cd{j} AS (
+  SELECT vec_id, cell AS code FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM (SELECT e.vec_id, c.cell, {_KM_DIST} AS d
+          FROM s{j} e CROSS JOIN p{j}c{pq_iter} c)
+  ) WHERE rn = 1
+)"""
+        )
+    code_sel = ", ".join(f"cd{j}.code AS code{j}" for j in range(m))
+    code_join = " ".join(f"JOIN cd{j} USING (vec_id)" for j in range(m))
+    cb_join = "\n  ".join(
+        f"JOIN p{j}c{pq_iter} cb{j} ON cb{j}.cell = cd.code{j}" for j in range(m)
+    )
+    terms = "\n      + ".join(
+        f"(list_inner_product(qv[{j * sub + 1}:{(j + 1) * sub}], qv[{j * sub + 1}:{(j + 1) * sub}])"
+        f" - 2 * list_inner_product(qv[{j * sub + 1}:{(j + 1) * sub}], cb{j}.c)"
+        f" + list_inner_product(cb{j}.c, cb{j}.c))"
+        for j in range(m)
+    )
+    return (
+        _kmeans_ctes(k=8, n_iter=3, dim=dim, seed=19)
+        + ",\n"
+        + ",\n".join(parts)
+        + f""",
+cc AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM (SELECT e.vec_id, c.cell, {_KM_DIST} AS d FROM e CROSS JOIN c3 c)
+  ) WHERE rn = 1
+),
+codes AS (
+  SELECT cc.vec_id, cc.cell, {code_sel}
+  FROM cc {code_join}
+),
+cq AS (
+  SELECT vec_id AS q, v AS qv, cell FROM (
+    SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM (SELECT e.vec_id, e.v, c.cell, {_KM_DIST} AS d
+          FROM e CROSS JOIN c3 c WHERE e.vec_id % 100 = 0)
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT cq.q, cd.vec_id,
+    round({terms}, 4) AS adc
+  FROM cq JOIN codes cd ON cd.cell = cq.cell AND cd.vec_id <> cq.q
+  {cb_join}
+)
+SELECT q, vec_id, adc FROM (
+  SELECT *, row_number() OVER (PARTITION BY q ORDER BY adc, vec_id) AS rn FROM scored
+) WHERE rn <= {k_top}
+"""
+    )
+
+
+@query("ivfpq_ann_topk", _ivfpq_sql())
+def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import ivfpq_topk, kmeans_fit, pq_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    coarse = kmeans_fit(emb, k=8, n_iter=3, dim=64, seed=19)
+    books = pq_fit(emb, m=4, k=8, n_iter=2, dim=64, seed=41)
+    return ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") % 100 == 0),
+        coarse,
+        books,
+        k=3,
+        nprobe=4,
+    )
+
+
 # ---------------------------------------------------------------------
 # Curated driver proof-window ordering
 # ---------------------------------------------------------------------
@@ -3172,7 +3355,7 @@ QUERY_ORDER: list[str] = [
     "minhash_lsh_pairs",
     "ngram_neardup_pairs",
     "simhash_banded_pairs",
-    "dedup_components",
+    "passage_dup_pairs",
     "first_seen_docs",
     # LLM-pipeline: similarity search / clustering
     "lsh_multitable_ann_topk",
@@ -3182,7 +3365,7 @@ QUERY_ORDER: list[str] = [
     "semantic_neardup_pairs",
     "embedding_neardup_multitable",
     # LLM-pipeline: text analysis / sampling / composed flagships
-    "lang_id",
+    "split_contamination",
     "text_quality",
     "pii_redaction",
     "decontam_overlap",
@@ -3224,12 +3407,18 @@ QUERY_ORDER: list[str] = [
     # fuzzy_perfect_pairs (F3 perfect path pinned by
     # cdc_apply_perfect_gate), dup_group_members (A1 pinned by
     # cdc_dup_keys).
-    # split_contamination and passage_dup_pairs are new in r04 and
-    # start in the tail (window full of never-proven queries) —
-    # local-gate proven at two scale factors, rotate in when slots
-    # free up
-    "split_contamination",
-    "passage_dup_pairs",
+    # Mid-r04 rotation: split_contamination and passage_dup_pairs
+    # (introduced this round, never driver-proven) moved INTO the
+    # window, displacing dedup_components and lang_id — both r01-r03
+    # green AND transitively pinned in-window by corpus_curation, whose
+    # end-to-end oracle replays the connected-components contraction
+    # and the lang-marker scoring verbatim. lm_doc_perplexity and
+    # ivfpq_ann_topk are newer still and start here in the tail
+    # (local-gate proven at two scale factors).
+    "dedup_components",
+    "lang_id",
+    "lm_doc_perplexity",
+    "ivfpq_ann_topk",
     "approx_distinct_convs",
     "cdc_dedup_salted",
     "exists_dup_keys",

@@ -217,3 +217,116 @@ def top_ngrams(df, text_col: str = "text", n: int = 2, k_top: int = 20):
         .orderBy(F.col("n").desc(), "ngram")
         .limit(k_top)
     )
+
+
+def doc_ngram_rows(df, text_col: str = "text", n: int = 2, id_col: str = "doc_id"):
+    """(id, ngram) OCCURRENCE rows of the normalized text — the keyed
+    sibling of ngram_occurrences (which drops the id for corpus-wide
+    profiling). One row per position; short docs (< n tokens) produce
+    no rows. Same materialize-the-token-array-first discipline (no
+    Catalyst subexpression elimination inside HOF lambdas)."""
+    from .normalize import normalize_text
+
+    words = F.col("_words")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("_words")
+    ).select(id_col, F.explode(grams).alias("ngram"))
+
+
+def lm_doc_scores(
+    df,
+    train=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+):
+    """Bigram language-model document scoring — the CCNet/KenLM-style
+    pretraining quality stage: train add-alpha-smoothed bigram
+    probabilities P(w2|w1) = (c(w1 w2) + a) / (c(w1 ·) + a·V) on
+    ``train`` (defaults to ``df`` itself: self-scoring ranks documents
+    by in-corpus typicality; a curated reference corpus slots in as
+    ``train`` with the identical plan), then score each document by the
+    mean log-probability of its bigrams and the per-token perplexity
+    exp(-mean). Low avg_logp / high ppl = improbable text — the
+    gibberish/boilerplate signal production filters threshold on.
+
+    Shapes at 100 TB: the LM is bounded by the realized bigram
+    vocabulary (≪ corpus — heavy-tail-truncated further by min-count
+    pruning upstream if needed), so training is one partial-aggregated
+    groupBy over gram occurrences and the trained table BROADCASTS to
+    the scoring join; the corpus side is explode → broadcast-join →
+    re-aggregate on the doc key, i.e. the document rows shuffle once on
+    the id for the final mean. The vocabulary size V (one bounded
+    scalar — model state, like the kmeans_fit centroids) is fetched at
+    construct and embedded as a literal, keeping the plan free of the
+    nested-loop join a constant-key scalar join would fold into.
+
+    Determinism across engines: counts are exact ints, alpha=0.5 is
+    binary-exact, and both engines evaluate the identical
+    ln((c_big + a)/(c_ctx + a·V)) expression tree; the per-doc mean is
+    rounded to 4 decimals (absorbing summation-order drift, the
+    kmeans_fit argument) and ppl is exp of the ROUNDED mean rounded to
+    2, so the oracle reproduces every value digit-for-digit.
+
+    Context counts use the bigram-PREFIX count c(w1 ·) (occurrences of
+    w1 as a non-final token) rather than the raw unigram count — the
+    standard choice that makes the smoothed conditional sum to 1 over
+    the vocabulary.
+
+    Reference anchor: the reference's quality gate is the fuzzy-ratio
+    accept/reject of processor.py:200-233 (per-record string
+    plausibility vs an authority); the LM score is that same
+    "plausibility against a trusted distribution" idea, trained on the
+    corpus instead of hand-authored."""
+    train = train if train is not None else df
+    grams_t = doc_ngram_rows(train, text_col, 2, id_col)
+    big = grams_t.groupBy("ngram").agg(F.count(F.lit(1)).alias("c_big"))
+    ctx = (
+        grams_t.select(F.split(F.col("ngram"), " ")[0].alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_ctx"))
+    )
+    from .normalize import normalize_text
+
+    # V is ONE bounded scalar (the kmeans_fit precedent: the model may
+    # live on the driver) — fetched at construct and embedded as a
+    # literal. A constant-key join would constant-fold to a
+    # BroadcastNestedLoopJoin (test_plan_quality forbids the shape) and
+    # a window needs a countDistinct windows don't support.
+    v_scalar = (
+        train.select(F.explode(F.split(normalize_text(text_col), " ")).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+        .first()["v"]
+    )
+    # score-side joins are LEFT with coalesce-to-0 counts so a bigram
+    # (or context) unseen in a SEPARATE train corpus falls back to the
+    # smoothed floor a/(c_ctx + a·V) (and a/(a·V) = 1/V when the
+    # context itself is unseen) instead of silently dropping out; with
+    # train = df every gram matches and the joins behave as inner
+    grams_d = doc_ngram_rows(df, text_col, 2, id_col).withColumn(
+        "w1", F.split(F.col("ngram"), " ")[0]
+    )
+    joined = grams_d.join(F.broadcast(big), "ngram", "left").join(
+        F.broadcast(ctx), "w1", "left"
+    )
+    logp = F.log(
+        (F.coalesce(F.col("c_big"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("c_ctx"), F.lit(0)) + F.lit(alpha) * F.lit(v_scalar))
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(logp), 4).alias("avg_logp"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        "avg_logp",
+        F.round(F.exp(-F.col("avg_logp")), 2).alias("ppl"),
+    )

@@ -265,3 +265,91 @@ def test_ivf_index_probe_query_cap_raises(spark, tmp_path):
         ivf_index_probe(spark, path, q, cents, nprobe=4, max_query_rows=20).count()
         > 0
     )
+
+
+def test_pq_fit_matches_numpy_replay(spark):
+    """Each subspace codebook must equal a numpy replay of the same
+    schedule over the sliced vectors (the pq oracle's premise)."""
+    from marc_data_migration_spark.operators.clustering import pq_fit
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_fit(emb, m=4, k=8, n_iter=2, dim=64, seed=41)
+    _, vecs = _load_np(f"{SF_DIR}/embeddings.parquet")
+    for j in range(4):
+        want, _ = _np_kmeans(vecs[:, j * 16 : (j + 1) * 16], k=8, n_iter=2, seed=41 + j)
+        np.testing.assert_allclose(np.array(books[j]), want, atol=2e-6)
+
+
+def test_pq_codes_geometry(spark):
+    from marc_data_migration_spark.operators.clustering import pq_codes, pq_fit
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_fit(emb, m=4, k=8, n_iter=2, dim=64, seed=41)
+    codes = pq_codes(emb, books).toPandas()
+    assert list(codes.columns) == ["vec_id", "code0", "code1", "code2", "code3"]
+    assert len(codes) == emb.count()
+    for j in range(4):
+        col = codes[f"code{j}"]
+        assert col.between(0, 7).all()
+    # a degenerate encoder (all rows one code) would still pass the
+    # range check — require the codebook to actually discriminate
+    assert codes[[f"code{j}" for j in range(4)]].nunique().min() >= 2
+
+
+def test_ivfpq_planted_copy_attains_min_adc(spark):
+    """An exact copy of the query vector attains the MINIMUM possible
+    ADC — its codes are the per-subspace argmin codewords for the
+    query's own slices, so ADC(q, copy) = Σ_j min_cw d(q_j, cw), the
+    query's own quantization error. The copy always lands in the
+    query's rank-1 coarse cell (identical vector → identical argmin),
+    so it is always a candidate, and every query's top-1 ADC must
+    EQUAL that numpy-computed floor. (The copy itself can still lose
+    the top-k seat on the (adc, id) tie-break: the synthetic
+    embeddings are clustered, so same-code siblings with smaller ids
+    tie it — which is exactly the quantized-rank behavior the
+    docstring's re-rank note is about.)"""
+    from marc_data_migration_spark.operators.clustering import (
+        ivfpq_topk,
+        kmeans_fit,
+        pq_fit,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    coarse = kmeans_fit(emb, k=8, n_iter=3, dim=64, seed=19)
+    books = pq_fit(emb, m=4, k=8, n_iter=2, dim=64, seed=41)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    planted = queries.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    top = ivfpq_topk(corpus, queries, coarse, books, k=3, nprobe=4).toPandas()
+    ids, vecs = _load_np(f"{SF_DIR}/embeddings.parquet")
+    qmask = ids % 25 == 0
+    qids, qvecs = ids[qmask], vecs[qmask]
+    floors = np.zeros(len(qids))
+    for j, cb in enumerate(books):
+        sl = qvecs[:, j * 16 : (j + 1) * 16]
+        cw = np.array(cb)
+        d = (
+            (sl * sl).sum(axis=1)[:, None]
+            - 2.0 * sl @ cw.T
+            + (cw * cw).sum(axis=1)[None, :]
+        )
+        floors += d.min(axis=1)
+    floor_by_q = dict(zip(qids.tolist(), np.round(floors, 4).tolist()))
+    firsts = top.sort_values(["q", "adc", "vec_id"]).groupby("q").first()
+    assert len(firsts) == len(qids)
+    for q, row in firsts.iterrows():
+        assert abs(row["adc"] - floor_by_q[q]) < 2e-4, (q, row["adc"], floor_by_q[q])
+
+
+def test_ivfpq_codebook_geometry_guard(spark):
+    from marc_data_migration_spark.operators.clustering import ivfpq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    bad_books = [[[0.0] * 8] * 8] * 4  # sub=8 disagrees with dim=64/m=4
+    with pytest.raises(ValueError, match="geometry"):
+        ivfpq_topk(emb, emb, [[0.0] * 64] * 8, bad_books, k=1)

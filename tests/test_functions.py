@@ -787,3 +787,62 @@ def test_winnow_passage_recall_and_locality(spark):
         assert doc_hits < hit
     finally:
         pairs.unpersist()
+
+
+def test_lm_doc_scores_hand_computed(spark):
+    """Tiny corpus where every smoothed bigram probability is
+    hand-checkable. Tokens avoid the stopword list (normalize_text
+    strips the|of|a|an|p|n), so grams survive normalization intact."""
+    import math
+
+    from marc_data_migration_spark.functions.text_analysis import lm_doc_scores
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y z"), (2, "x y"), (3, "z z z")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in lm_doc_scores(docs).collect()}
+    # grams: d1: xy yx xy yz | d2: xy | d3: zz zz
+    # big: xy=3 yx=1 yz=1 zz=2 ; ctx prefixes: x=3 y=2 z=2 ; V=3, a=0.5
+    p_xy = (3 + 0.5) / (3 + 0.5 * 3)
+    p_yx = (1 + 0.5) / (2 + 0.5 * 3)
+    p_yz = (1 + 0.5) / (2 + 0.5 * 3)
+    p_zz = (2 + 0.5) / (2 + 0.5 * 3)
+    want = {
+        1: (4, (2 * math.log(p_xy) + math.log(p_yx) + math.log(p_yz)) / 4),
+        2: (1, math.log(p_xy)),
+        3: (2, math.log(p_zz)),
+    }
+    assert set(got) == {1, 2, 3}
+    for d, (n, lp) in want.items():
+        assert got[d]["n_bigrams"] == n
+        assert got[d]["avg_logp"] == round(lp, 4)
+        assert got[d]["ppl"] == round(math.exp(-round(lp, 4)), 2)
+
+
+def test_lm_doc_scores_separate_train_backoff(spark):
+    """Scoring against a SEPARATE train corpus: unseen bigrams take the
+    smoothed floor a/(c_ctx + a·V) (1/V when the context is unseen too)
+    instead of dropping out of the mean."""
+    import math
+
+    from marc_data_migration_spark.functions.text_analysis import lm_doc_scores
+
+    train = spark.createDataFrame([(10, "x y x y")], ["doc_id", "text"])
+    # train grams: xy=2 yx=1; ctx: x=2 y=1; V=2
+    docs = spark.createDataFrame([(1, "q q")], ["doc_id", "text"])
+    got = lm_doc_scores(docs, train=train).collect()
+    assert len(got) == 1
+    # "q q": both gram and context unseen -> (0+0.5)/(0+0.5*2) = 1/2
+    assert got[0]["n_bigrams"] == 1
+    assert got[0]["avg_logp"] == round(math.log(0.5), 4)
+
+
+def test_lm_doc_scores_short_docs_absent(spark):
+    from marc_data_migration_spark.functions.text_analysis import lm_doc_scores
+
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "solo"), (3, "")], ["doc_id", "text"]
+    )
+    ids = {r["doc_id"] for r in lm_doc_scores(docs).collect()}
+    assert ids == {1}
