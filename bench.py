@@ -56,6 +56,14 @@ HEADLINE = [
     # round-4 additions (per-query-series rule as above)
     "simhash_banded_pairs",
     "corpus_to_contexts",
+    "passage_dup_pairs",
+    "split_contamination",
+    # lm_doc_perplexity trains the bigram LM at query build (the V
+    # scalar + broadcast counts), ivfpq_ann_topk trains coarse + m PQ
+    # codebooks driver-side — both land in construct_sec like the
+    # kmeans family; exec stays the like-for-like series
+    "lm_doc_perplexity",
+    "ivfpq_ann_topk",
 ]
 
 
