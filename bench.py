@@ -64,6 +64,7 @@ HEADLINE = [
     # kmeans family; exec stays the like-for-like series
     "lm_doc_perplexity",
     "ivfpq_ann_topk",
+    "ivfpq_rerank_topk",
 ]
 
 

@@ -3227,6 +3227,7 @@ def _ivfpq_sql(
     pq_seed: int = 41,
     nprobe: int = 4,
     k_top: int = 3,
+    rerank_r: int | None = None,
 ) -> str:
     sub = dim // m
     parts: list[str] = []
@@ -3282,11 +3283,38 @@ scored AS (
   FROM cq JOIN codes cd ON cd.cell = cq.cell AND cd.vec_id <> cq.q
   {cb_join}
 )
-SELECT q, vec_id, adc FROM (
-  SELECT *, row_number() OVER (PARTITION BY q ORDER BY adc, vec_id) AS rn FROM scored
-) WHERE rn <= {k_top}
+{_ivfpq_tail(k_top, rerank_r)}
 """
     )
+
+
+def _ivfpq_tail(k_top: int, rerank_r: int | None) -> str:
+    """Final select of the IVF-PQ oracle: plain ADC top-k, or — when
+    rerank_r is set — ADC top-R survivors re-scored with the EXACT
+    expanded-form squared L2 distance (the same <c,c> - 2<q,c> + <q,q>
+    term order the Spark side sums), rounded to 4 before the final
+    (d2, id) rank, mirroring clustering.ivfpq_rerank_topk."""
+    adc_rank = (
+        "SELECT *, row_number() OVER (PARTITION BY q ORDER BY adc, vec_id) AS rn"
+        " FROM scored"
+    )
+    if rerank_r is None:
+        return f"SELECT q, vec_id, adc FROM (\n  {adc_rank}\n) WHERE rn <= {k_top}"
+    return f""", topr AS (
+  SELECT q, vec_id FROM ({adc_rank}) WHERE rn <= {rerank_r}
+),
+rr AS (
+  SELECT t.q, t.vec_id,
+         round(list_inner_product(cand.v, cand.v)
+               - 2 * list_inner_product(qq.qv, cand.v)
+               + list_inner_product(qq.qv, qq.qv), 4) AS d2
+  FROM topr t
+  JOIN e cand ON cand.vec_id = t.vec_id
+  JOIN (SELECT vec_id AS q, v AS qv FROM e WHERE vec_id % 100 = 0) qq ON qq.q = t.q
+)
+SELECT q, vec_id, d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY q ORDER BY d2, vec_id) AS rn FROM rr
+) WHERE rn <= {k_top}"""
 
 
 @query("ivfpq_ann_topk", _ivfpq_sql())
@@ -3304,6 +3332,30 @@ def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         coarse,
         books,
         k=3,
+        nprobe=4,
+    )
+
+
+@query("ivfpq_rerank_topk", _ivfpq_sql(rerank_r=10))
+def q_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC nominates R=10 survivors per query, exact squared-L2 decides
+    the top-3 — the production IVF-PQ refinement (quantization error
+    decides who is NOMINATED, never who WINS). The oracle replays both
+    training schedules AND the two-stage rank."""
+    from .operators.clustering import ivfpq_rerank_topk, kmeans_fit, pq_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    coarse = kmeans_fit(emb, k=8, n_iter=3, dim=64, seed=19)
+    books = pq_fit(emb, m=4, k=8, n_iter=2, dim=64, seed=41)
+    return ivfpq_rerank_topk(
+        emb,
+        emb.filter(F.col("vec_id") % 100 == 0),
+        coarse,
+        books,
+        k=3,
+        r=10,
         nprobe=4,
     )
 
@@ -3419,6 +3471,7 @@ QUERY_ORDER: list[str] = [
     "lang_id",
     "lm_doc_perplexity",
     "ivfpq_ann_topk",
+    "ivfpq_rerank_topk",
     "approx_distinct_convs",
     "cdc_dedup_salted",
     "exists_dup_keys",

@@ -319,12 +319,18 @@ def pq_fit(
     move, because the scan side of an ANN probe then reads m bytes per
     vector instead of dim floats (16× here: 64 doubles → 4 codes).
 
-    Training reuses kmeans_fit per subspace over a SLICED projection of
-    one shared persisted vector frame, so the corpus is read from disk
-    once, not m times; each subspace training is then n_iter in-memory
-    scans with the same O(tasks·k·subdim) shuffle bound as the full
-    k-means. Codebook values round to 6 decimals (kmeans_fit), so a SQL
-    engine replaying the same schedule reproduces them digit-for-digit.
+    All m subspace trainings run JOINTLY: per Lloyd iteration ONE job
+    scans the persisted vector frame, assigns every subspace slice to
+    its codeword (projection over codebook literals), and computes all
+    m codebooks' mean updates in a single partial-aggregated groupBy on
+    (subspace, cell, pos) — n_iter jobs total instead of m·n_iter, with
+    the same O(tasks·m·k·subdim) shuffle bound (the kmeans_fit bound
+    summed over subspaces). Each subspace's schedule (LCG init at
+    seed+j, argmin assignment, 6-decimal mean rounding, empty cells
+    keep the previous codeword) is EXACTLY kmeans_fit's, so the numpy
+    replay and the oracle's unrolled per-subspace CTEs reproduce the
+    codebooks digit-for-digit — joint execution changes the job count,
+    not the math.
     """
     if dim % m:
         raise ValueError(f"pq_fit: dim={dim} not divisible by m={m}")
@@ -332,18 +338,39 @@ def pq_fit(
     _check_dim(df, vec_col, dim, "pq_fit", strict=strict_dim)
     v = df.select(_as_double(F.col(vec_col)).alias("v")).persist()
     try:
-        v.count()  # materialize once; subspace trainings read memory
-        return [
-            kmeans_fit(
-                v.select(F.slice(F.col("v"), j * sub + 1, sub).alias("s")),
-                "s",
-                k=k,
-                n_iter=n_iter,
-                dim=sub,
-                seed=seed + j,
+        v.count()  # materialize once; iteration scans read memory
+        books = [random_planes(k, sub, seed + j) for j in range(m)]
+        for _ in range(n_iter):
+            pieces = F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            argmin_cell(
+                                F.slice(F.col("v"), j * sub + 1, sub), books[j]
+                            ).alias("cell"),
+                            F.slice(F.col("v"), j * sub + 1, sub).alias("s"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("p")
+            rows = (
+                v.select(pieces)
+                .select(
+                    F.col("p")["j"].alias("j"),
+                    F.col("p")["cell"].alias("cell"),
+                    F.posexplode(F.col("p")["s"]).alias("pos", "val"),
+                )
+                .groupBy("j", "cell", "pos")
+                .agg(F.avg("val").alias("m"))
+                .collect()
             )
-            for j in range(m)
-        ]
+            new = [[list(c) for c in cb] for cb in books]
+            for r in rows:
+                new[r["j"]][r["cell"]][r["pos"]] = round(r["m"], 6)
+            books = new
+        return books
     finally:
         v.unpersist()
 
@@ -424,14 +451,29 @@ def ivfpq_topk(
         argmin_cell(F.col("_v"), coarse_centroids).alias("cell"),
         *_pq_code_cols(F.col("_v"), codebooks),
     )
+    q = _adc_query_side(queries, coarse_centroids, codebooks, nprobe, vec_col, id_col)
+    return _adc_probe(q, c, m, k, id_col)
+
+
+def _adc_query_side(
+    queries: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Query side of an ADC probe: (q, tab0..tab{m-1}, cell) — per
+    subspace the k distances from the query's slice to every codeword,
+    materialized as an array column in their own projection (computed
+    once per query row, BEFORE the nprobe fan-out multiplies rows),
+    exploded over the nprobe nearest coarse cells."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
     q = queries.select(
         F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("qv")
     )
-    # ADC tables: per subspace the k distances from the query's slice to
-    # every codeword, materialized as an array column in their own
-    # projection (computed once per query row, before the nprobe fan-out
-    # multiplies rows)
-    q = q.select(
+    return q.select(
         "q",
         *[
             F.array(
@@ -443,8 +485,14 @@ def ivfpq_topk(
             F.slice(cell_rank(F.col("qv"), coarse_centroids), 1, nprobe)
         ).alias("pr"),
     ).select("q", *[f"tab{j}" for j in range(m)], F.col("pr")["i"].alias("cell"))
-    # sum the m table lookups in fixed subspace order (the oracle writes
-    # the same left-to-right chain, so float association matches)
+
+
+def _adc_probe(q: DataFrame, c: DataFrame, m: int, k: int, id_col: str) -> DataFrame:
+    """Score (q, tabs, cell) against a (id, cell, codes) frame: cell
+    equi-join with the query side broadcast, ADC = the m table lookups
+    summed in fixed subspace order (the oracle writes the same
+    left-to-right chain, so float association matches), rounded to 4
+    decimals BEFORE the per-query (adc asc, id asc) top-k rank."""
     adc = F.element_at(F.col("tab0"), F.col("code0") + 1)
     for j in range(1, m):
         adc = adc + F.element_at(F.col(f"tab{j}"), F.col(f"code{j}") + 1)
@@ -457,6 +505,144 @@ def ivfpq_topk(
     w = Window.partitionBy("q").orderBy(F.col("adc").asc(), F.col(id_col).asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def ivfpq_index_write(
+    corpus: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    strict_dim: bool = False,
+) -> None:
+    """Materialize the IVF-PQ index at rest: (id, code0..code{m-1})
+    partitioned by coarse cell — and NOTHING else. Unlike
+    ivf_index_write (which stores the vectors so probes can compute
+    exact distances), the PQ payload is m small ints per vector: at
+    100 TB of raw embeddings the index is ~dim·8/m smaller (128× here),
+    and a probe reads only the probed cells' code files. The vectors
+    stay wherever the corpus lives; an exact re-rank (ivfpq_rerank_topk)
+    fetches them by id for the top-R survivors only."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if sub * m != dim:
+        raise ValueError("ivfpq_index_write: codebook geometry disagrees with dim/m")
+    _check_dim(corpus, vec_col, dim, "ivfpq_index_write", strict=strict_dim)
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    c = c.select(
+        id_col,
+        argmin_cell(F.col("_v"), coarse_centroids).alias("cell"),
+        *_pq_code_cols(F.col("_v"), codebooks),
+    )
+    c.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivfpq_index_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    strict_dim: bool = False,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Probe the at-rest IVF-PQ index: queries rank their nprobe
+    nearest coarse cells, the code scan carries ``cell IN (probed)`` —
+    partition pruning reads only the probed directories — and scoring
+    is the same broadcast-ADC join as the in-memory probe (results are
+    identical by construction; test-pinned). The query side is
+    evaluated once with the same incremental-take cap as
+    ivf_index_probe: an oversized query frame raises instead of
+    OOMing the driver."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if sub * m != dim:
+        raise ValueError("ivfpq_index_probe: codebook geometry disagrees with dim/m")
+    _check_dim(queries, vec_col, dim, "ivfpq_index_probe", strict=strict_dim)
+    q = _adc_query_side(queries, coarse_centroids, codebooks, nprobe, vec_col, id_col)
+    q_rows = q.take(max_query_rows + 1)
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"ivfpq_index_probe: query side exceeds max_query_rows="
+            f"{max_query_rows} (queries × nprobe rows); the probe "
+            "assumes a broadcast-small query set — raise max_query_rows "
+            "deliberately or run the in-memory probe as a distributed join"
+        )
+    probed = sorted({r["cell"] for r in q_rows})
+    q_local = spark.createDataFrame(q_rows, schema=q.schema)
+    c = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    return _adc_probe(q_local, c, m, k, id_col)
+
+
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+    r: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    strict_dim: bool = False,
+) -> DataFrame:
+    """ADC top-R then EXACT re-rank — the production IVF-PQ composition
+    the ivfpq_topk docstring promises: the quantized probe nominates R
+    survivors per query (R ≈ 3-4k), then only those R rows' true
+    vectors are fetched and scored with the exact squared L2 distance,
+    and the top-k of the exact scores is returned as (q, id, d2).
+    Quantization error decides who is NOMINATED, never who WINS.
+
+    100-TB shape: the ADC stage moves only (id, cell, codes); the
+    re-rank joins the bounded survivor set (|queries|·R rows —
+    broadcast) back to the corpus on the id key, so the vector fetch is
+    a broadcast-hash join against the corpus scan, no corpus shuffle,
+    and the exact math runs on |queries|·R rows instead of the corpus.
+    d2 uses the expanded form <c,c> - 2<q,c> + <q,q> (the _dist2 /
+    _KM_DIST expression tree both engines evaluate), rounded to 4
+    decimals before the (d2 asc, id asc) rank so the cut is
+    deterministic in any engine."""
+    survivors = ivfpq_topk(
+        corpus,
+        queries,
+        coarse_centroids,
+        codebooks,
+        k=r,
+        nprobe=nprobe,
+        vec_col=vec_col,
+        id_col=id_col,
+        dim=dim,
+        strict_dim=strict_dim,
+    ).select("q", id_col)
+    vecs = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    qv = queries.select(
+        F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    d2 = (
+        _dot(F.col("cv"), F.col("cv"))
+        - F.lit(2.0) * _dot(F.col("qv"), F.col("cv"))
+        + _dot(F.col("qv"), F.col("qv"))
+    )
+    exact = (
+        F.broadcast(survivors)
+        .join(vecs, id_col)
+        .join(F.broadcast(qv), "q")
+        .select("q", F.col(id_col), F.round(d2, 4).alias("d2"))
+    )
+    w = Window.partitionBy("q").orderBy(F.col("d2").asc(), F.col(id_col).asc())
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
     )

@@ -353,3 +353,107 @@ def test_ivfpq_codebook_geometry_guard(spark):
     bad_books = [[[0.0] * 8] * 8] * 4  # sub=8 disagrees with dim=64/m=4
     with pytest.raises(ValueError, match="geometry"):
         ivfpq_topk(emb, emb, [[0.0] * 64] * 8, bad_books, k=1)
+
+
+def test_ivfpq_index_at_rest_matches_inmemory_and_prunes(spark, tmp_path):
+    """The persisted IVF-PQ index (codes-only parquet partitioned by
+    cell) must (a) reproduce the in-memory ADC probe exactly — same
+    training, same tables, so identical (q, id, adc) rows — and
+    (b) push the probed-cell filter into PartitionFilters, and
+    (c) store NO vector column: the payload is the m codes, the
+    128x-at-rest claim."""
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.operators.clustering import (
+        ivfpq_index_probe,
+        ivfpq_index_write,
+        ivfpq_topk,
+        kmeans_fit,
+        pq_fit,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    coarse = kmeans_fit(emb, k=8, n_iter=3, dim=64, seed=19)
+    books = pq_fit(emb, m=4, k=8, n_iter=2, dim=64, seed=41)
+    path = str(tmp_path / "ivfpq_index")
+    ivfpq_index_write(emb, coarse, books, path)
+
+    probe = ivfpq_index_probe(spark, path, q, coarse, books, k=3, nprobe=4)
+    got = {(r.q, r.vec_id, r.adc) for r in probe.collect()}
+    want = {
+        (r.q, r.vec_id, r.adc)
+        for r in ivfpq_topk(emb, q, coarse, books, k=3, nprobe=4).collect()
+    }
+    assert got == want
+
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"vec_id", "cell", "code0", "code1", "code2", "code3"}
+
+    import re
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf_bodies = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cell" in body for body in pf_bodies), pf_bodies
+
+
+def test_ivfpq_index_probe_query_cap_raises(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.operators.clustering import (
+        ivfpq_index_probe,
+        ivfpq_index_write,
+        kmeans_fit,
+        pq_fit,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    coarse = kmeans_fit(emb, k=8, n_iter=3, dim=64, seed=19)
+    books = pq_fit(emb, m=4, k=8, n_iter=2, dim=64, seed=41)
+    path = str(tmp_path / "ivfpq_index")
+    ivfpq_index_write(emb, coarse, books, path)
+    q = emb.filter(F.col("vec_id") % 10 == 0)  # queries x nprobe 4 > 100
+    with pytest.raises(ValueError, match="max_query_rows"):
+        ivfpq_index_probe(
+            spark, path, q, coarse, books, k=3, nprobe=4, max_query_rows=100
+        )
+
+
+def test_ivfpq_rerank_planted_copy_wins_top1(spark):
+    """Exact re-rank repairs the ADC tie-break artifact: a planted
+    exact copy can LOSE the quantized top-1 to same-code siblings with
+    smaller ids (pinned by test_ivfpq_planted_copy_attains_min_adc),
+    but it always survives nomination (it sits AT the ADC floor with
+    the smallest id — planted ids are negative) and the exact stage
+    scores it d2 = 0.0, so re-rank must put it at rank 1 for every
+    query."""
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.operators.clustering import (
+        ivfpq_rerank_topk,
+        kmeans_fit,
+        pq_fit,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    coarse = kmeans_fit(emb, k=8, n_iter=3, dim=64, seed=19)
+    books = pq_fit(emb, m=4, k=8, n_iter=2, dim=64, seed=41)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    planted = queries.select(
+        (-F.col("vec_id") - 1).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    top = ivfpq_rerank_topk(
+        corpus, queries, coarse, books, k=3, r=10, nprobe=4
+    ).toPandas()
+    firsts = top.sort_values(["q", "d2", "vec_id"]).groupby("q").first()
+    assert len(firsts) == queries.count()
+    for q, row in firsts.iterrows():
+        assert row["vec_id"] == -q - 1, (q, row["vec_id"])
+        assert row["d2"] == 0.0
