@@ -65,6 +65,8 @@ HEADLINE = [
     "lm_doc_perplexity",
     "ivfpq_ann_topk",
     "ivfpq_rerank_topk",
+    "fuzzy_decontam_pairs",
+    "weighted_sample_docs",
 ]
 
 

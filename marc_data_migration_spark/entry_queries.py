@@ -3360,6 +3360,106 @@ def q_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- fuzzy decontamination (text_dedup.fuzzy_decontaminate): the
+#    Jaccard-overlap complement of decontam_overlap's exact long-
+#    shingle hit — benchmark = a 40-token excerpt of every 50th doc (a
+#    truncated eval prompt breaks most 8-grams but keeps high 3-gram
+#    Jaccard vs its source). Benchmark shingles broadcast; corpus
+#    never shuffles for the probe. ----------------------------------------
+
+_FUZZY_DECONTAM_JAC = (
+    "round(CAST(s.n_shared AS DOUBLE) / (na.n_a + nb.n_b - s.n_shared), 4)"
+)
+
+
+@query(
+    "fuzzy_decontam_pairs",
+    f"""
+WITH cnorm AS (
+  SELECT doc_id, string_split({_norm_sql('text')}, ' ') AS w FROM documents
+),
+csh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 3
+         THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                             for i in generate_series(1, len(w)-2)])
+         ELSE [] END) AS sh
+  FROM cnorm
+),
+benchtext AS (
+  SELECT doc_id AS bench_id,
+         array_to_string(string_split_regex(trim(text), '\\s+')[1:40], ' ') AS text
+  FROM documents WHERE doc_id % 50 = 0
+),
+bnorm AS (
+  SELECT bench_id, string_split({_norm_sql('text')}, ' ') AS w FROM benchtext
+),
+bsh AS (
+  SELECT bench_id, unnest(
+    CASE WHEN len(w) >= 3
+         THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                             for i in generate_series(1, len(w)-2)])
+         ELSE [] END) AS sh
+  FROM bnorm
+),
+shared AS (
+  SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+  FROM csh c JOIN bsh b USING (sh) GROUP BY c.doc_id, b.bench_id
+),
+na AS (SELECT doc_id, count(*) AS n_a FROM csh GROUP BY doc_id),
+nb AS (SELECT bench_id, count(*) AS n_b FROM bsh GROUP BY bench_id)
+SELECT doc_id, bench_id, {_FUZZY_DECONTAM_JAC} AS jaccard
+FROM shared s JOIN na USING (doc_id) JOIN nb USING (bench_id)
+WHERE {_FUZZY_DECONTAM_JAC} >= 0.2
+""",
+)
+def q_fuzzy_decontam_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark = the first 40 tokens of every 50th doc; a corpus doc
+    is flagged per bench doc at 3-gram Jaccard ≥ 0.2 — truncation that
+    defeats the exact 8-gram pass still trips this one."""
+    from .operators.text_dedup import fuzzy_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 40)).alias(
+            "text"
+        ),
+    )
+    return fuzzy_decontaminate(docs, bench, k=3, threshold=0.2)
+
+
+# -- weighted sampling without replacement (sampling.weighted_sample):
+#    Efraimidis–Spirakis A-Res with a stable hashed uniform — the
+#    deterministic, append-stable, engine-auditable form of "sample n
+#    docs proportional to length". --------------------------------------
+
+
+@query(
+    "weighted_sample_docs",
+    f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         ({_md5int_sql("'wsample#' || CAST(doc_id AS VARCHAR)")} % 1000000 + 0.5)
+           / 1000000.0 AS u
+  FROM documents
+)
+SELECT doc_id, n_tokens, round(pow(u, 1.0 / n_tokens), 8) AS skey
+FROM d WHERE n_tokens > 0
+ORDER BY skey DESC, doc_id
+LIMIT 100
+""",
+)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.sampling import weighted_sample
+    from .functions.text_analysis import n_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select("doc_id", n_tokens("text").cast("bigint").alias("n_tokens"))
+    return weighted_sample(d, "n_tokens", n=100)
+
+
 # ---------------------------------------------------------------------
 # Curated driver proof-window ordering
 # ---------------------------------------------------------------------
@@ -3472,6 +3572,8 @@ QUERY_ORDER: list[str] = [
     "lm_doc_perplexity",
     "ivfpq_ann_topk",
     "ivfpq_rerank_topk",
+    "fuzzy_decontam_pairs",
+    "weighted_sample_docs",
     "approx_distinct_convs",
     "cdc_dedup_salted",
     "exists_dup_keys",

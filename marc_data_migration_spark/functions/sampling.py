@@ -194,3 +194,50 @@ def pack_contexts(
             F.col(n_tokens_col).cast("long").alias("n_tokens"),
         )
     )
+
+
+def weighted_sample(
+    df,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+):
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-Res scheme: each row draws a stable uniform
+    u ∈ (0,1) from its hashed id and competes with key u^(1/w); the n
+    largest keys win. Inclusion probability is proportional to weight
+    (exactly the reservoir semantics), yet the draw is reproducible,
+    stable under appends (an existing row's key never changes), and
+    auditable from any engine — the three properties `hash_split`'s
+    docstring demands and `df.sample`/reservoir RNGs cannot give.
+
+    u is (md5int(salt#id) % 10^6 + 0.5)/10^6 — strictly inside (0,1)
+    so the key is well-defined for every weight; keys round to 8
+    decimals BEFORE the rank (pow is correctly-rounded within 1 ulp on
+    both engines — 8 decimals is far above the drift) and ties break
+    by id, so the selected SET is engine-identical. Rows with
+    non-positive weight never qualify (filtered, matching the w>0
+    domain of the scheme).
+
+    Scale shape: the key is a pure projection; `orderBy(...).limit(n)`
+    plans as TakeOrderedAndProject — per-partition top-n then a
+    single bounded merge on the driver side of the exchange, never a
+    global sort of the corpus.
+
+    Returns (id, weight, skey) for the n winners.
+    """
+    c = F.col(id_col)
+    u = (
+        md5int(F.concat_ws("#", F.lit(salt), c.cast("string"))) % 1_000_000
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 8
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(c, F.col(weight_col), key.alias("skey"))
+        .orderBy(F.col("skey").desc(), c.asc())
+        .limit(n)
+    )

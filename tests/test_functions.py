@@ -846,3 +846,53 @@ def test_lm_doc_scores_short_docs_absent(spark):
     )
     ids = {r["doc_id"] for r in lm_doc_scores(docs).collect()}
     assert ids == {1}
+
+
+def test_fuzzy_decontam_catches_truncation_exact_misses(spark):
+    """A 6-token excerpt of a corpus doc breaks every 8-gram (exact
+    decontaminate sees nothing) but keeps high 3-gram Jaccard vs its
+    source; an unrelated bench doc must flag nothing. Tokens avoid the
+    stopword list so normalization keeps them."""
+    from marc_data_migration_spark.operators.text_dedup import (
+        decontaminate,
+        fuzzy_decontaminate,
+    )
+
+    src = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    corpus = spark.createDataFrame(
+        [(1, src), (2, "kilo lima mike november oscar papa quebec romeo")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha bravo charlie delta echo foxtrot"),  # truncated copy
+         (200, "sierra tango uniform victor whiskey xray")],  # unrelated
+        ["bench_id", "text"],
+    )
+    exact = decontaminate(corpus, bench, k=8).collect()
+    assert exact == []  # 6-token excerpt has no 8-gram at all
+    fuzzy = {(r.doc_id, r.bench_id): r.jaccard
+             for r in fuzzy_decontaminate(corpus, bench, k=3, threshold=0.2).collect()}
+    # src: 8 trigrams; excerpt: 4 trigrams, all shared -> 4/8 = 0.5
+    assert fuzzy == {(1, 100): 0.5}
+
+
+def test_weighted_sample_props(spark):
+    """Keys are stable under appends (an existing doc's skey never
+    moves), heavier rows win proportionally more seats, and
+    non-positive weights never qualify."""
+    from marc_data_migration_spark.functions.sampling import weighted_sample
+
+    rows = [(i, 10 if i % 2 == 0 else 1) for i in range(1000)] + [(5000, 0), (5001, -3)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    top = weighted_sample(df, "w", n=100).toPandas()
+    assert len(top) == 100
+    assert not set(top.doc_id) & {5000, 5001}
+    heavy = (top.w == 10).sum()
+    assert heavy > 70  # 10:1 weights -> heavies dominate the reservoir
+    # append-stability: growing the corpus never changes an existing key
+    bigger = df.unionByName(
+        spark.createDataFrame([(9000 + i, 5) for i in range(200)], ["doc_id", "w"])
+    )
+    k1 = {r.doc_id: r.skey for r in weighted_sample(df, "w", n=1200).collect()}
+    k2 = {r.doc_id: r.skey for r in weighted_sample(bigger, "w", n=1400).collect()}
+    assert all(k2[d] == k for d, k in k1.items())
