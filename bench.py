@@ -67,6 +67,10 @@ HEADLINE = [
     "ivfpq_rerank_topk",
     "fuzzy_decontam_pairs",
     "weighted_sample_docs",
+    # bpe_vocab_topk learns its 6 merge rules driver-side at query
+    # build (the kmeans family pattern) — construct_sec carries the
+    # training rounds, exec the vocab derivation
+    "bpe_vocab_topk",
 ]
 
 

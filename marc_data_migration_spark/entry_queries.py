@@ -3460,6 +3460,68 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(d, "n_tokens", n=100)
 
 
+# -- distributed BPE training (functions/bpe.py): tokenizer
+#    construction as the kmeans-style driver-model / cluster-data
+#    split. The oracle replays the ENTIRE training schedule — per
+#    round: pair counts over the symbolized word table, deterministic
+#    argmax, double-bar literal replace — as unrolled CTEs, then the
+#    vocabulary derivation, so every learned rule is proven. ------------
+
+
+def _bpe_sql(n_merges: int = 6, k_top: int = 30) -> str:
+    parts = [
+        f"""wc AS (
+  SELECT w, count(*) AS n FROM (
+    SELECT unnest(string_split({_norm_sql('text')}, ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+)""",
+        """s0 AS (
+  SELECT w, n, '||' || regexp_replace(w, '(.)', '\\1||', 'g') AS sym FROM wc
+)""",
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT p[1] AS a, p[2] AS b, sum(n) AS c FROM (
+    SELECT n, unnest(CASE WHEN len(t) >= 2
+         THEN [[t[i], t[i+1]] for i in generate_series(1, len(t)-1)]
+         ELSE [] END) AS p
+    FROM (SELECT n, list_filter(string_split(sym, '||'), x -> x <> '') AS t
+          FROM s{r - 1})
+  ) GROUP BY 1, 2
+)"""
+        )
+        parts.append(f"m{r} AS (SELECT a, b FROM p{r} ORDER BY c DESC, a, b LIMIT 1)")
+        parts.append(
+            f"""s{r} AS (
+  SELECT w, n,
+         replace(sym, '|' || m.a || '||' || m.b || '|',
+                      '|' || m.a || m.b || '|') AS sym
+  FROM s{r - 1} CROSS JOIN m{r} m
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT symbol, CAST(sum(n) AS BIGINT) AS n FROM (
+  SELECT n, unnest(list_filter(string_split(sym, '||'), x -> x <> '')) AS symbol
+  FROM s{n_merges}
+) GROUP BY symbol ORDER BY n DESC, symbol LIMIT {k_top}"""
+    )
+
+
+@query("bpe_vocab_topk", _bpe_sql(n_merges=6, k_top=30))
+def q_bpe_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six learned merges over the corpus word table, then the top-30
+    subword vocabulary — a wrong rule in ANY round changes the output,
+    so the whole schedule is oracle-pinned."""
+    from .functions.bpe import bpe_vocab
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return bpe_vocab(docs, n_merges=6, k_top=30)
+
+
 # ---------------------------------------------------------------------
 # Curated driver proof-window ordering
 # ---------------------------------------------------------------------
@@ -3574,6 +3636,7 @@ QUERY_ORDER: list[str] = [
     "ivfpq_rerank_topk",
     "fuzzy_decontam_pairs",
     "weighted_sample_docs",
+    "bpe_vocab_topk",
     "approx_distinct_convs",
     "cdc_dedup_salted",
     "exists_dup_keys",

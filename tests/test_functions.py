@@ -896,3 +896,76 @@ def test_weighted_sample_props(spark):
     k1 = {r.doc_id: r.skey for r in weighted_sample(df, "w", n=1200).collect()}
     k2 = {r.doc_id: r.skey for r in weighted_sample(bigger, "w", n=1400).collect()}
     assert all(k2[d] == k for d, k in k1.items())
+
+
+def _ref_bpe(word_counts, n_merges):
+    """Pure-python reference BPE (greedy left-to-right merge)."""
+    words = {tuple(w): n for w, n in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pc = {}
+        for syms, n in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + n
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, c))
+        new = {}
+        for syms, n in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + n
+        words = new
+    return merges, words
+
+
+def test_bpe_fit_matches_reference(spark):
+    """Learned merge schedule and final vocabulary must equal a pure-
+    python replay on the same token multiset (tokens avoid stopwords
+    so normalization is the identity on them)."""
+    from collections import Counter
+
+    from marc_data_migration_spark.functions.bpe import bpe_fit, bpe_vocab
+
+    texts = [
+        "lower lower lower newest newest widest",
+        "lowest newest newest lower",
+        "wider wider newest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    wc = Counter(w for t in texts for w in t.split())
+    want_merges, want_words = _ref_bpe(wc, n_merges=5)
+    got = bpe_fit(docs, n_merges=5)
+    assert got == want_merges
+    vocab = {r.symbol: r.n for r in bpe_vocab(docs, n_merges=5, k_top=100).collect()}
+    want_vocab = Counter()
+    for syms, n in want_words.items():
+        for s in syms:
+            want_vocab[s] += n
+    assert vocab == dict(want_vocab)
+
+
+def test_bpe_consecutive_merge_no_overlap_loss(spark):
+    """'banana'-style runs: replace must merge CONSECUTIVE occurrences
+    (the double-bar encoding's whole point) exactly like the greedy
+    reference."""
+    from collections import Counter
+
+    from marc_data_migration_spark.functions.bpe import bpe_fit
+
+    texts = ["zzzz zzzz zz", "zzz zz zzzz"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    wc = Counter(w for t in texts for w in t.split())
+    want, _ = _ref_bpe(wc, n_merges=3)
+    assert bpe_fit(docs, n_merges=3) == want
