@@ -3468,7 +3468,7 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    vocabulary derivation, so every learned rule is proven. ------------
 
 
-def _bpe_sql(n_merges: int = 6, k_top: int = 30) -> str:
+def _bpe_ctes(n_merges: int = 6) -> str:
     parts = [
         f"""wc AS (
   SELECT w, count(*) AS n FROM (
@@ -3500,9 +3500,12 @@ def _bpe_sql(n_merges: int = 6, k_top: int = 30) -> str:
   FROM s{r - 1} CROSS JOIN m{r} m
 )"""
         )
+    return "WITH " + ",\n".join(parts)
+
+
+def _bpe_sql(n_merges: int = 6, k_top: int = 30) -> str:
     return (
-        "WITH "
-        + ",\n".join(parts)
+        _bpe_ctes(n_merges)
         + f"""
 SELECT symbol, CAST(sum(n) AS BIGINT) AS n FROM (
   SELECT n, unnest(list_filter(string_split(sym, '||'), x -> x <> '')) AS symbol
@@ -3520,6 +3523,36 @@ def q_bpe_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     return bpe_vocab(docs, n_merges=6, k_top=30)
+
+
+@query(
+    "bpe_doc_token_counts",
+    _bpe_ctes(6)
+    + f""",
+wsub AS (
+  SELECT w,
+         CAST(len(list_filter(string_split(sym, '||'), x -> x <> '')) AS BIGINT)
+           AS n_sub
+  FROM s6
+),
+dt AS (
+  SELECT doc_id, unnest(string_split({_norm_sql('text')}, ' ')) AS w FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sub) AS BIGINT) AS n_subwords
+FROM (SELECT * FROM dt WHERE w <> '') JOIN wsub USING (w)
+GROUP BY doc_id
+""",
+)
+def q_bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-by-vocabulary-lookup: per-doc subword budgets under the
+    six learned merges — the token accounting a training run sizes
+    against."""
+    from .functions.bpe import bpe_doc_token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return bpe_doc_token_counts(docs, n_merges=6)
 
 
 # ---------------------------------------------------------------------
@@ -3637,6 +3670,7 @@ QUERY_ORDER: list[str] = [
     "fuzzy_decontam_pairs",
     "weighted_sample_docs",
     "bpe_vocab_topk",
+    "bpe_doc_token_counts",
     "approx_distinct_convs",
     "cdc_dedup_salted",
     "exists_dup_keys",

@@ -140,3 +140,46 @@ def bpe_vocab(
         .orderBy(F.col("n").desc(), "symbol")
         .limit(k_top)
     )
+
+
+def bpe_doc_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 6,
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Corpus-scale tokenization by VOCABULARY LOOKUP: symbolize the
+    distinct-word table once with the learned merges (a bounded,
+    projection-only pass), then join each document's token stream
+    against it — per-doc subword budgets (the number that sizes a
+    training run) without re-running the merge chain per occurrence.
+    Returns (id, n_words, n_subwords); empty docs produce no row.
+
+    Scale shape: the subword-count side is the WORD table (one row per
+    distinct normalized token), broadcast here under the bounded-vocab
+    assumption the BPE preprocessing already makes; a corpus whose
+    realized vocabulary outgrows a broadcast drops the hint and the
+    probe becomes a plain equi-join on the token — either way the doc
+    side shuffles only for its final per-doc aggregation."""
+    if merges is None:
+        merges = [(a, b) for a, b, _ in bpe_fit(df, text_col, n_merges)]
+    wsub = word_frequencies(df, text_col).select(
+        "w",
+        F.size(
+            F.filter(F.split(_sym_expr(merges), r"\|\|"), lambda x: x != F.lit(""))
+        )
+        .cast("bigint")
+        .alias("n_sub"),
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        toks.join(F.broadcast(wsub), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_subwords"),
+        )
+    )

@@ -969,3 +969,28 @@ def test_bpe_consecutive_merge_no_overlap_loss(spark):
     wc = Counter(w for t in texts for w in t.split())
     want, _ = _ref_bpe(wc, n_merges=3)
     assert bpe_fit(docs, n_merges=3) == want
+
+
+def test_bpe_doc_token_counts_matches_reference(spark):
+    from collections import Counter
+
+    from marc_data_migration_spark.functions.bpe import (
+        bpe_doc_token_counts,
+        bpe_fit,
+    )
+
+    texts = ["lower lower newest", "newest newest widest lower", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    wc = Counter(w for t in texts for w in t.split())
+    merges, words = _ref_bpe(wc, n_merges=4)
+    sub_of = {"".join(syms): len(syms) for syms in words}
+    got = {r.doc_id: (r.n_words, r.n_subwords)
+           for r in bpe_doc_token_counts(docs, n_merges=4).collect()}
+    want = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if toks:
+            want[i] = (len(toks), sum(sub_of[w] for w in toks))
+    assert got == want  # empty doc 2 produces no row
