@@ -71,6 +71,7 @@ HEADLINE = [
     # build (the kmeans family pattern) — construct_sec carries the
     # training rounds, exec the vocab derivation
     "bpe_vocab_topk",
+    "chunk_docs",
 ]
 
 

@@ -3555,6 +3555,45 @@ def q_bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_doc_token_counts(docs, n_merges=6)
 
 
+# -- overlapping document chunking (text_analysis.chunk_documents):
+#    the embedding/RAG windowing stage — fixed-stride overlapping
+#    windows over the normalized token stream, map-only (no Exchange
+#    in the plan). -----------------------------------------------------
+
+
+@query(
+    "chunk_docs",
+    f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split({_norm_sql('text')}, ' '), x -> x <> '') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(CASE WHEN len(t) >= 1
+       THEN [j for j in generate_series(0, (len(t)-1)//24)]
+       ELSE [] END) AS i
+  FROM d
+),
+ch AS (
+  SELECT doc_id, i, t[(i*24+1):least(i*24+32, len(t))] AS sl FROM idx
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(i*24 + 1 AS INT) AS start_tok,
+       CAST(len(sl) AS INT) AS n_chunk_tokens,
+       array_to_string(sl, ' ') AS chunk_text
+FROM ch
+""",
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-token windows at stride 24 (8-token overlap) over every
+    document — the chunk table an embedding pass vectorizes."""
+    from .functions.text_analysis import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return chunk_documents(docs, window=32, stride=24)
+
+
 # ---------------------------------------------------------------------
 # Curated driver proof-window ordering
 # ---------------------------------------------------------------------
@@ -3671,6 +3710,7 @@ QUERY_ORDER: list[str] = [
     "weighted_sample_docs",
     "bpe_vocab_topk",
     "bpe_doc_token_counts",
+    "chunk_docs",
     "approx_distinct_convs",
     "cdc_dedup_salted",
     "exists_dup_keys",

@@ -330,3 +330,70 @@ def lm_doc_scores(
         "avg_logp",
         F.round(F.exp(-F.col("avg_logp")), 2).alias("ppl"),
     )
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+):
+    """Overlapping fixed-stride chunking of the normalized token
+    stream — the windowing stage an embedding/RAG pipeline runs before
+    vectorizing long documents (stride < window ⇒ consecutive chunks
+    overlap by window-stride tokens, so no boundary-straddling span is
+    lost to every chunk). Chunk starts are the deterministic grid
+    1, 1+stride, 1+2·stride, … up to the last start ≤ n, each chunk
+    clamped to the document end — short tails are emitted, empty docs
+    emit nothing. Returns (id, chunk_idx, start_tok, n_chunk_tokens,
+    chunk_text).
+
+    Pure projection + explode: no shuffle anywhere — at 100 TB this is
+    a map-only pass whose output fans out ~n_tokens/stride rows per
+    doc. The token array materializes in its own projection before the
+    chunk-building lambda (no Catalyst subexpression elimination
+    inside HOF lambdas — the shingles() lesson)."""
+    from pyspark.sql import functions as F
+
+    from .normalize import normalize_text
+
+    if not (0 < stride <= window):
+        raise ValueError("chunk_documents: need 0 < stride <= window")
+    toks = F.filter(
+        F.split(normalize_text(text_col), " "), lambda x: x != F.lit("")
+    )
+    t = F.col("_t")
+    n = F.size(t)
+    chunks = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(
+                F.lit(0), F.floor((n - 1) / F.lit(stride)).cast("int")
+            ),
+            lambda i: F.struct(
+                i.alias("chunk_idx"),
+                (i * stride + 1).alias("start_tok"),
+                F.size(F.slice(t, i * stride + 1, window)).alias("n_chunk_tokens"),
+                F.concat_ws(" ", F.slice(t, i * stride + 1, window)).alias(
+                    "chunk_text"
+                ),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<chunk_idx:int,start_tok:int,"
+            "n_chunk_tokens:int,chunk_text:string>>"
+        )
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.start_tok").alias("start_tok"),
+            F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )

@@ -994,3 +994,28 @@ def test_bpe_doc_token_counts_matches_reference(spark):
         if toks:
             want[i] = (len(toks), sum(sub_of[w] for w in toks))
     assert got == want  # empty doc 2 produces no row
+
+
+def test_chunk_documents_boundaries(spark):
+    """Hand-checked chunk grid: window 5, stride 3 over 8 tokens ->
+    starts 1,4,7; tail chunk short; overlap = window-stride tokens;
+    empty doc emits nothing."""
+    from marc_data_migration_spark.functions.text_analysis import chunk_documents
+
+    toks = ["w%d" % i for i in range(1, 9)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "")], ["doc_id", "text"]
+    )
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.start_tok, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(docs, window=5, stride=3).collect()
+    )
+    assert got == [
+        (1, 0, 1, 5, "w1 w2 w3 w4 w5"),
+        (1, 1, 4, 5, "w4 w5 w6 w7 w8"),
+        (1, 2, 7, 2, "w7 w8"),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, window=4, stride=5)
