@@ -72,6 +72,8 @@ HEADLINE = [
     # training rounds, exec the vocab derivation
     "bpe_vocab_topk",
     "chunk_docs",
+    # rp_ivf_topk trains its reduced-space quantizer at query build
+    "rp_ivf_topk",
 ]
 
 

@@ -3594,6 +3594,98 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, window=32, stride=24)
 
 
+# -- Johnson–Lindenstrauss projected IVF ANN (similarity_search.
+#    rp_project + clustering.kmeans_fit/probe_topk): project 64→16
+#    dims with deterministic LCG planes, train the coarse quantizer
+#    IN the reduced space, probe there — every downstream byte 4×
+#    smaller. The oracle replays projection (same plane literals),
+#    the reduced-space k-means schedule, and the probe. ------------------
+
+
+def _rp_ivf_sql(
+    out_dim: int = 16,
+    in_dim: int = 64,
+    rp_seed: int = 73,
+    k: int = 8,
+    n_iter: int = 2,
+    km_seed: int = 29,
+    nprobe: int = 4,
+    k_top: int = 3,
+) -> str:
+    from .operators.similarity_search import random_planes
+
+    planes = random_planes(out_dim, in_dim, rp_seed)
+    proj = ",\n    ".join(
+        f"list_inner_product(v, CAST([{', '.join(repr(x) for x in p)}] AS DOUBLE[]))"
+        for p in planes
+    )
+    blocks = _km_block_ctes("ep", "r", k, n_iter, out_dim, km_seed)
+    return (
+        f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ep AS (
+  SELECT vec_id, [{proj}] AS v FROM e
+),
+"""
+        + ",\n".join(blocks)
+        + f""",
+cc AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM (SELECT e.vec_id, e.v, c.cell, {_KM_DIST} AS d FROM ep e CROSS JOIN rc{n_iter} c)
+  ) WHERE rn = 1
+),
+cq AS (
+  SELECT vec_id AS q, v AS qv, cell FROM (
+    SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM (SELECT e.vec_id, e.v, c.cell, {_KM_DIST} AS d
+          FROM ep e CROSS JOIN rc{n_iter} c WHERE e.vec_id % 100 = 0)
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT cq.q, cc.vec_id,
+    round(list_inner_product(qv, v)
+          / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 4) AS score
+  FROM cq JOIN cc ON cc.cell = cq.cell AND cc.vec_id <> cq.q
+)
+SELECT q, vec_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY q ORDER BY score DESC, vec_id) AS rn FROM scored
+) WHERE rn <= {k_top}
+"""
+    )
+
+
+@query("rp_ivf_topk", _rp_ivf_sql())
+def q_rp_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduced-space ANN: JL-project, train the quantizer in 16 dims,
+    probe in 16 dims — cosine scored on the PROJECTED vectors (the
+    reduced space IS the index's geometry; exact re-rank in the
+    original space composes like ivfpq_rerank_topk)."""
+    from .operators.clustering import argmin_cell, cell_rank, kmeans_fit
+    from .operators.similarity_search import probe_topk, random_planes, rp_project
+
+    planes = random_planes(16, 64, 73)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    proj = rp_project(emb, planes)
+    cents = kmeans_fit(proj, "rv", k=8, n_iter=2, dim=16, seed=29)
+    c = proj.select(
+        "vec_id",
+        F.col("rv").alias("cv"),
+        argmin_cell(F.col("rv"), cents).alias("cell"),
+    )
+    q = rp_project(emb.filter(F.col("vec_id") % 100 == 0), planes)
+    q = q.select(
+        F.col("vec_id").alias("q"),
+        F.col("rv").alias("qv"),
+        F.explode(F.slice(cell_rank(F.col("rv"), cents), 1, 4)).alias("pr"),
+    ).select("q", "qv", F.col("pr")["i"].alias("cell"))
+    return probe_topk(c, q, 3, "vec_id")
+
+
 # ---------------------------------------------------------------------
 # Curated driver proof-window ordering
 # ---------------------------------------------------------------------
@@ -3711,6 +3803,7 @@ QUERY_ORDER: list[str] = [
     "bpe_vocab_topk",
     "bpe_doc_token_counts",
     "chunk_docs",
+    "rp_ivf_topk",
     "approx_distinct_convs",
     "cdc_dedup_salted",
     "exists_dup_keys",

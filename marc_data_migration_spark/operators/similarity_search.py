@@ -417,3 +417,31 @@ def lsh_multitable_ann_topk(
     )
     w = Window.partitionBy("q").orderBy(F.col("score").desc(), F.col(id_col))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def rp_project(
+    df,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "rv",
+    strict_dim: bool = False,
+):
+    """Johnson–Lindenstrauss random projection: rv[j] = <v, plane_j>
+    over the deterministic LCG plane family — dimensionality reduction
+    as a PURE PROJECTION (no shuffle, no model state beyond the plane
+    literals). At 100 TB projecting 64→16 dims cuts every downstream
+    ANN stage's vector bytes 4× — scan, shuffle, broadcast and
+    centroid math all shrink together — at the JL-lemma distance-
+    distortion price, which the composed query pins empirically
+    (identical vectors still project identically, so exact dups are
+    never lost). Engine-portable: the oracle embeds the same plane
+    literals and DuckDB's list_inner_product sums in the same order as
+    the Spark-side fold."""
+    dim = len(planes[0])
+    _check_dim(df, vec_col, dim, "rp_project", strict=strict_dim)
+    v = F.col("_v")
+    rv = F.array(*[_dot(v, F.array(*[F.lit(x) for x in p])) for p in planes])
+    return df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).select(
+        F.col(id_col), rv.alias(out_col)
+    )

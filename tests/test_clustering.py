@@ -457,3 +457,67 @@ def test_ivfpq_rerank_planted_copy_wins_top1(spark):
     for q, row in firsts.iterrows():
         assert row["vec_id"] == -q - 1, (q, row["vec_id"])
         assert row["d2"] == 0.0
+
+
+def test_rp_project_matches_numpy(spark):
+    from marc_data_migration_spark.operators.similarity_search import (
+        random_planes,
+        rp_project,
+    )
+
+    planes = random_planes(16, 64, 73)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    got = {r.vec_id: np.array(r.rv) for r in rp_project(emb, planes).collect()}
+    ids, vecs = _load_np(f"{SF_DIR}/embeddings.parquet")
+    want = vecs @ np.array(planes).T
+    assert len(got) == len(ids)
+    for i, vid in enumerate(ids.tolist()):
+        np.testing.assert_allclose(got[vid], want[i], rtol=1e-10, atol=1e-12)
+
+
+def test_rp_ivf_planted_copy_recovered(spark):
+    """Identical vectors project identically, land in the same reduced-
+    space cell, and score cosine 1.0 — a planted exact copy (negative
+    id wins every tie-break) must be rank 1 for every query."""
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.operators.clustering import (
+        argmin_cell,
+        cell_rank,
+        kmeans_fit,
+    )
+    from marc_data_migration_spark.operators.similarity_search import (
+        probe_topk,
+        random_planes,
+        rp_project,
+    )
+
+    planes = random_planes(16, 64, 73)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    planted = queries.select((-F.col("vec_id") - 1).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(planted)
+    proj = rp_project(corpus, planes)
+    cents = kmeans_fit(proj, "rv", k=8, n_iter=2, dim=16, seed=29)
+    c = proj.select(
+        "vec_id",
+        F.col("rv").alias("cv"),
+        argmin_cell(F.col("rv"), cents).alias("cell"),
+    )
+    qp = rp_project(queries, planes)
+    q = qp.select(
+        F.col("vec_id").alias("q"),
+        F.col("rv").alias("qv"),
+        F.explode(F.slice(cell_rank(F.col("rv"), cents), 1, 4)).alias("pr"),
+    ).select("q", "qv", F.col("pr")["i"].alias("cell"))
+    top = probe_topk(c, q, 3, "vec_id").toPandas()
+    firsts = top.sort_values(["q", "score", "vec_id"], ascending=[True, False, True])
+    firsts = firsts.groupby("q").first()
+    assert len(firsts) == queries.count()
+    for qid, row in firsts.iterrows():
+        assert row["vec_id"] == -qid - 1, (qid, row["vec_id"])
+        assert row["score"] == 1.0
