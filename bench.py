@@ -253,6 +253,116 @@ def ingest_run(parallelism: int, n_docs: int, n_batches: int) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bpe_train_profile(parallelism: int, sf_dir: str, n_merges: int = 1000) -> dict:
+    """Real-vocab-scale BPE training cost: distributed word-frequency
+    collapse + collect + driver-local merge schedule (functions/
+    bpe._fit_local) at n_merges=1000 — the path that replaces one
+    Spark job per merge round (32k+ sequential jobs at real vocab
+    sizes) with a single bounded collect."""
+    from marc_data_migration_spark.functions.bpe import _fit_local, word_frequencies
+
+    spark = get_spark(f"bpe-train-{parallelism}", parallelism=parallelism)
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+        t0 = time.perf_counter()
+        rows = word_frequencies(docs).collect()
+        t1 = time.perf_counter()
+        schedule = _fit_local([(r["w"], int(r["n"])) for r in rows], n_merges)
+        t2 = time.perf_counter()
+        return {
+            "n_merges_requested": n_merges,
+            "n_merges_learned": len(schedule),
+            "n_distinct_words": len(rows),
+            "collapse_collect_sec": round(t1 - t0, 3),
+            "schedule_sec": round(t2 - t1, 3),
+            "total_sec": round(t2 - t0, 3),
+        }
+    finally:
+        spark.stop()
+
+
+def _load_prior_bench(sf: float) -> tuple[str, dict] | None:
+    """Most recent driver-recorded BENCH_r{N}.json at the same sf; the
+    driver stores the bench stdout JSON (possibly truncated at the
+    front) under 'tail', so repair before parsing."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+        try:
+            rec = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        if rec.get("sf") != sf:
+            continue
+        parsed = rec.get("parsed")
+        if not isinstance(parsed, dict):
+            tail = rec.get("tail", "")
+            i = tail.find("metric")
+            if i < 0:
+                continue
+            try:
+                parsed = json.loads('{"' + tail[i:].strip())
+            except json.JSONDecodeError:
+                continue
+        if isinstance(parsed.get("queries"), dict):
+            return os.path.basename(path), parsed
+    return None
+
+
+def regression_gate(
+    timings: dict[str, float], sf: float, threshold: float = 2.0
+) -> dict | None:
+    """Per-query regression gate vs the prior round's recorded bench at
+    the same sf. The sandbox VM throttles in multi-minute phases, so
+    raw ratios are normalized by the MEDIAN ratio across all shared
+    queries (the phase hits every query alike; a real regression is a
+    per-query outlier against it). Queries whose normalized ratio
+    exceeds ``threshold`` are flagged loudly on stderr; with
+    --strict-regression the process exits 1 after printing the JSON."""
+    import statistics
+
+    prior = _load_prior_bench(sf)
+    if prior is None:
+        return None
+    name, parsed = prior
+    prev = parsed["queries"]
+    shared = sorted(set(prev) & set(timings))
+    ratios = {
+        q: timings[q] / prev[q] for q in shared if prev[q] > 0 and timings[q] > 0
+    }
+    if len(ratios) < 3:
+        return None
+    med = statistics.median(ratios.values())
+    flagged = {
+        q: {
+            "prev_sec": prev[q],
+            "cur_sec": timings[q],
+            "normalized_ratio": round(r / med, 2),
+        }
+        for q, r in sorted(ratios.items())
+        if med > 0 and r / med > threshold
+    }
+    out = {
+        "baseline": name,
+        "n_shared": len(ratios),
+        "median_ratio": round(med, 3),
+        "threshold_x": threshold,
+        "flagged": flagged,
+    }
+    if flagged:
+        print(
+            f"REGRESSION GATE FAILED vs {name}: "
+            + ", ".join(
+                f"{q} {v['prev_sec']}s -> {v['cur_sec']}s ({v['normalized_ratio']}x norm)"
+                for q, v in flagged.items()
+            ),
+            file=sys.stderr,
+        )
+    return out
+
+
 def synth_feed(spark, n_events: int, n_convs: int):
     """Deterministic Spark-generated change feed (distributed, no
     testdata dependency) — big enough that the scaling measurement is
@@ -633,22 +743,47 @@ def main() -> None:
         if "--no-curation" not in sys.argv
         else None
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline query suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "construct_sec": construct,
-                "sf": _sf(SF_DIR),
-                "events_per_sec": round(n_events / timings["cdc_apply"])
-                if "cdc_apply" in timings
-                else None,
-                "corpus_curation": curation,
-            }
+    # stream/ingest continuity (VERDICT r04 #6): the end-to-end paths
+    # get machine-comparable keys in the per-round JSON, not just
+    # BENCH/BASELINE.md prose. Sized to add ~1 min to the suite.
+    extras: dict = {}
+    if "--no-extras" not in sys.argv:
+        stream = stream_e2e_run(
+            CPUS,
+            int(os.environ.get("BENCH_STREAM_EVENTS", "1000000")),
+            n_batches=2,
+            sink_mode="cow",
         )
-    )
+        extras["stream_events_per_sec"] = stream["events_per_sec"]
+        extras["stream_e2e"] = stream
+        ingest = ingest_run(
+            CPUS, int(os.environ.get("BENCH_INGEST_DOCS", "50000")), 4
+        )
+        extras["ingest_docs_per_sec"] = ingest["docs_per_sec"]
+        extras["ingest_e2e"] = ingest
+        extras["bpe_train_1k"] = bpe_train_profile(CPUS, SF_DIR)
+    gate = regression_gate(timings, _sf(SF_DIR))
+    out = {
+        "metric": "headline query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "construct_sec": construct,
+        "sf": _sf(SF_DIR),
+        "events_per_sec": round(n_events / timings["cdc_apply"])
+        if "cdc_apply" in timings
+        else None,
+        "corpus_curation": curation,
+        **extras,
+        "regression_gate": gate,
+    }
+    print(json.dumps(out))
+    if (
+        "--strict-regression" in sys.argv
+        and gate is not None
+        and gate["flagged"]
+    ):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -489,23 +489,6 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- J5/F3: fuzzy similarity scores (pandas UDF — no SQL oracle; the
-#    driver records a rows-only check, SURVEY.md §2.3 J5) -----------------
-
-
-@query("fuzzy_ratio_pairs")
-def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    a = docs.select(F.col("doc_id"), F.col("text").alias("a_text"))
-    b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("b_text"))
-    return a.join(b, "doc_id").select(
-        "doc_id",
-        token_sort_ratio(
-            normalize_text("a_text"), normalize_text("b_text")
-        ).alias("ratio"),
-    )
-
-
 # ---------------------------------------------------------------------
 # Training-data pipeline ops: dedup family, similarity search, text
 # analysis (SURVEY.md build-plan step 8 + task-mandated ops)
@@ -539,6 +522,90 @@ def _norm_sql(x: str) -> str:
         " '(?i)\\s(the|of|a|an|p|n)\\s', ' ', 'g'),"
         " '\\s{2,}', ' ', 'g'))"
     )
+
+
+# -- J5/F3: fuzzy similarity scores (pandas UDF). The InDel ratio has
+#    no SQL analogue, so the oracle-checkable surface is DERIVED:
+#    (1) `lev` — Levenshtein over the SAME token-sorted processed
+#        strings the UDF scores, computed JVM-side and replayed
+#        exactly by DuckDB's levenshtein() (a hard cross-engine value
+#        pinning the whole normalize→full_process→truncate→token-sort
+#        pipeline);
+#    (2) `t_len` — the summed processed lengths (the ratio's
+#        denominator), also exact;
+#    (3) `ratio_band_ok` — the sandwich invariant lev ≤ InDel ≤ 2·lev
+#        rearranged onto the UDF's rounded ratio
+#        (100·(T−2·lev)/T − 0.5 ≤ ratio ≤ 100·(T−lev)/T + 0.5, slack
+#        0.51 for float fuzz), which the oracle pins to TRUE. A wrong
+#        UDF score lands outside the band and hash-fails the row; the
+#        exact score itself stays pinned by the DP-replay unit tests
+#        (tests/test_fuzzy_gate.py). ------------------------------------
+
+
+def _tok_sort_sql(x: str) -> str:
+    """Token-sorted full_process(normalize(x)) truncated at the UDF's
+    MAX_CMP_CHARS — the exact string token_sort_ratio scores."""
+    fp = (
+        f"trim(lower(regexp_replace({_norm_sql(x)}, '[^0-9a-zA-Z]+', ' ', 'g')))"
+    )
+    return (
+        "array_to_string(list_sort(list_filter(string_split("
+        f"substr({fp}, 1, 256), ' '), t -> t <> '')), ' ')"
+    )
+
+
+def _tok_sort_col(col):
+    """Spark mirror of _tok_sort_sql (JVM-side, no UDF)."""
+    fp = F.trim(
+        F.lower(F.regexp_replace(normalize_text(col), "[^0-9a-zA-Z]+", " "))
+    )
+    toks = F.filter(F.split(F.substring(fp, 1, 256), " "), lambda t: t != F.lit(""))
+    return F.array_join(F.array_sort(toks), " ")
+
+
+@query(
+    "fuzzy_ratio_pairs",
+    f"""
+WITH pr AS (
+  SELECT a.doc_id, a.text AS a_text, b.text AS b_text
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+), s AS (
+  SELECT doc_id, {_tok_sort_sql('a_text')} AS sa, {_tok_sort_sql('b_text')} AS sb
+  FROM pr
+)
+SELECT doc_id,
+       CAST(levenshtein(sa, sb) AS BIGINT) AS lev,
+       CAST(length(sa) + length(sb) AS BIGINT) AS t_len,
+       TRUE AS ratio_band_ok
+FROM s
+""",
+)
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.select(F.col("doc_id"), F.col("text").alias("a_text"))
+    b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("b_text"))
+    pr = a.join(b, "doc_id").select(
+        "doc_id",
+        token_sort_ratio(
+            normalize_text("a_text"), normalize_text("b_text")
+        ).alias("ratio"),
+        _tok_sort_col("a_text").alias("sa"),
+        _tok_sort_col("b_text").alias("sb"),
+    )
+    lev = F.levenshtein("sa", "sb").cast("bigint")
+    t = (F.length("sa") + F.length("sb")).cast("bigint")
+    r = F.col("ratio").cast("double")
+    band = (
+        (r * t >= 100.0 * (t - 2 * lev) - 0.51 * t)
+        & (r * t <= 100.0 * (t - lev) + 0.51 * t)
+    )
+    return pr.select(
+        "doc_id",
+        lev.alias("lev"),
+        t.alias("t_len"),
+        F.when(t == 0, r == 0.0).otherwise(band).alias("ratio_band_ok"),
+    )
+
 
 
 def _md5int_sql(x: str) -> str:
@@ -1005,14 +1072,63 @@ def q_dup_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- multimodal plumbing (stubbed decode, real Spark pipeline) -----------
+# -- multimodal plumbing (real default codec + byte-level stand-in
+#    for the audio/video kinds this container can't decode) --------------
 
 from .operators.multimodal import (  # noqa: E402
     decode_media,
     fake_decode,
     frame_sample,
+    synthesize_image_media,
     synthesize_media,
 )
+
+
+@query(
+    "media_decode_features",
+    """
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CAST(8 + doc_id % 5 AS BIGINT) AS w,
+         CAST(6 + doc_id % 4 AS BIGINT) AS h
+  FROM documents
+),
+xs AS (SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+xy AS (SELECT media_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
+SELECT media_id,
+       CASE WHEN media_id % 3 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+       CAST(CASE WHEN media_id % 3 = 0
+            THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h
+            ELSE 54 + (3 * w + (4 - (3 * w) % 4) % 4) * h END AS BIGINT) AS n_bytes,
+       w AS width, h AS height,
+       CAST(sum((7 * x + 13 * y + 31 * media_id) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((11 * x + 17 * y + media_id) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((5 * x + 3 * y + 23 * media_id) % 256) AS BIGINT) AS sum_b
+FROM xy
+GROUP BY 1, 2, 3, 4, 5
+""",
+)
+def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, oracle-pinned: planted deterministic bitmaps
+    (BMP with PPM every 3rd row — synthesize_image_media's pixel
+    arithmetic) are encoded executor-side, parsed back by the default
+    pure-python codec (operators/codecs.py), and the decoded dims +
+    exact per-channel pixel sums + container byte size must equal the
+    oracle's closed-form replay of the same arithmetic. A wrong stride
+    pad, BGR order, row direction, or header size changes the output."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    feats = decode_media(synthesize_image_media(docs))
+    n = F.col("feat")[0] * F.col("feat")[1]
+    return feats.select(
+        "media_id",
+        F.when(F.col("media_id") % 3 == 0, "ppm").otherwise("bmp").alias("fmt"),
+        "n_bytes",
+        F.col("feat")[0].cast("bigint").alias("width"),
+        F.col("feat")[1].cast("bigint").alias("height"),
+        F.round(F.col("feat")[2] * n).cast("bigint").alias("sum_r"),
+        F.round(F.col("feat")[3] * n).cast("bigint").alias("sum_g"),
+        F.round(F.col("feat")[4] * n).cast("bigint").alias("sum_b"),
+    )
 
 
 @query(
@@ -2280,17 +2396,40 @@ def q_keys_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- HLL sketch: approximate distinct conversations per op (the brief's
-#    sketch family). Approximate results can't value-hash against an
-#    exact engine, so this is a rows-only driver check; the accuracy
-#    bound (relative error < 5% vs exact at rsd=0.02) is pinned by
-#    tests/test_functions.py::test_hll_accuracy ------------------------
+#    sketch family). The estimate itself can't value-hash against an
+#    exact engine, so the oracle-checkable surface is DERIVED: the
+#    exact distinct count (replayed by DuckDB) plus the accuracy
+#    assertion |hll − exact| ≤ 5%·exact as a boolean column the oracle
+#    pins to TRUE — Spark's HLL is deterministic for fixed data, so a
+#    drifted sketch flips the column and hash-fails the driver row.
+#    The same ±5% bound is also pinned at rsd=0.02 by
+#    tests/test_functions.py::test_hll_accuracy. ------------------------
 
 
-@query("approx_distinct_convs")
+@query(
+    "approx_distinct_convs",
+    CDC_CTES
+    + """
+SELECT op,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS exact_convs,
+       TRUE AS hll_within_5pct
+FROM changes
+GROUP BY op
+""",
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = changes_from_events(_events(spark, sf_dir))
-    return ch.groupBy("op").agg(
-        F.approx_count_distinct("conv_id", rsd=0.02).alias("approx_convs")
+    agg = ch.groupBy("op").agg(
+        F.approx_count_distinct("conv_id", rsd=0.02).alias("approx_convs"),
+        F.count_distinct("conv_id").cast("bigint").alias("exact_convs"),
+    )
+    return agg.select(
+        "op",
+        "exact_convs",
+        (
+            F.abs(F.col("approx_convs") - F.col("exact_convs"))
+            <= 0.05 * F.col("exact_convs")
+        ).alias("hll_within_5pct"),
     )
 
 
@@ -2842,46 +2981,60 @@ _KM_DIST = (
 )
 
 
-def _kmeans_ctes(k: int = 8, n_iter: int = 3, dim: int = 64, seed: int = 19) -> str:
-    """DuckDB mirror of clustering.kmeans_fit: the same LCG-literal
-    init, the same expanded-form distances, the same 6-decimal rounding
-    after each mean update, empty cells coalescing to the previous
-    centroid. Produces CTEs e, c0, a1..aN, m1..mN, c1..cN."""
+def _km_block_ctes(
+    src: str, prefix: str, k: int, n_iter: int, dim: int, seed: int
+) -> list[str]:
+    """Generalized form of _kmeans_ctes's iteration blocks: the same
+    LCG-literal init / expanded-form distances / 6-decimal mean
+    rounding / empty-cell coalesce, reading vectors from CTE ``src``
+    and emitting {prefix}c0, {prefix}a1..{prefix}c{n_iter}."""
     from .operators.similarity_search import random_planes
 
     init = "\n  UNION ALL ".join(
         f"SELECT {i} AS cell, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]) AS c"
         for i, c in enumerate(random_planes(k, dim, seed))
     )
-    parts = [
-        "e AS (\n  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
-        " AS v FROM embeddings\n)",
-        f"c0 AS (\n  {init}\n)",
-    ]
+    parts = [f"{prefix}c0 AS (\n  {init}\n)"]
     for i in range(1, n_iter + 1):
         parts.append(
-            f"""a{i} AS (
+            f"""{prefix}a{i} AS (
   SELECT vec_id, v, cell FROM (
     SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-    FROM (SELECT e.vec_id, e.v, c.cell, {_KM_DIST} AS d FROM e CROSS JOIN c{i - 1} c)
+    FROM (SELECT e.vec_id, e.v, c.cell, {_KM_DIST} AS d
+          FROM {src} e CROSS JOIN {prefix}c{i - 1} c)
   ) WHERE rn = 1
 )"""
         )
         parts.append(
-            f"""m{i} AS (
+            f"""{prefix}m{i} AS (
   SELECT cell, list(m ORDER BY pos) AS c FROM (
     SELECT a.cell, t.pos, round(avg(a.v[CAST(t.pos AS INT) + 1]), 6) AS m
-    FROM a{i} a, range({dim}) t(pos)
+    FROM {prefix}a{i} a, range({dim}) t(pos)
     GROUP BY a.cell, t.pos
   ) GROUP BY cell
 )"""
         )
         parts.append(
-            f"""c{i} AS (
-  SELECT p.cell, coalesce(m{i}.c, p.c) AS c
-  FROM c{i - 1} p LEFT JOIN m{i} ON m{i}.cell = p.cell
+            f"""{prefix}c{i} AS (
+  SELECT p.cell, coalesce(m.c, p.c) AS c
+  FROM {prefix}c{i - 1} p LEFT JOIN {prefix}m{i} m ON m.cell = p.cell
 )"""
         )
+    return parts
+
+
+def _kmeans_ctes(k: int = 8, n_iter: int = 3, dim: int = 64, seed: int = 19) -> str:
+    """DuckDB mirror of clustering.kmeans_fit: the same LCG-literal
+    init, the same expanded-form distances, the same 6-decimal rounding
+    after each mean update, empty cells coalescing to the previous
+    centroid. Produces CTEs e, c0, a1..aN, m1..mN, c1..cN — the ``e``
+    source plus one _km_block_ctes schedule (the template exists once;
+    this is just the full-vector instantiation)."""
+    parts = [
+        "e AS (\n  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS v FROM embeddings\n)",
+    ]
+    parts += _km_block_ctes("e", "", k, n_iter, dim, seed)
     return "WITH " + ",\n".join(parts)
 
 
@@ -3177,48 +3330,6 @@ def q_lm_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    codes, tables and ADC sums are digit-identical ---------------------
 
 
-def _km_block_ctes(
-    src: str, prefix: str, k: int, n_iter: int, dim: int, seed: int
-) -> list[str]:
-    """Generalized form of _kmeans_ctes's iteration blocks: the same
-    LCG-literal init / expanded-form distances / 6-decimal mean
-    rounding / empty-cell coalesce, reading vectors from CTE ``src``
-    and emitting {prefix}c0, {prefix}a1..{prefix}c{n_iter}."""
-    from .operators.similarity_search import random_planes
-
-    init = "\n  UNION ALL ".join(
-        f"SELECT {i} AS cell, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]) AS c"
-        for i, c in enumerate(random_planes(k, dim, seed))
-    )
-    parts = [f"{prefix}c0 AS (\n  {init}\n)"]
-    for i in range(1, n_iter + 1):
-        parts.append(
-            f"""{prefix}a{i} AS (
-  SELECT vec_id, v, cell FROM (
-    SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-    FROM (SELECT e.vec_id, e.v, c.cell, {_KM_DIST} AS d
-          FROM {src} e CROSS JOIN {prefix}c{i - 1} c)
-  ) WHERE rn = 1
-)"""
-        )
-        parts.append(
-            f"""{prefix}m{i} AS (
-  SELECT cell, list(m ORDER BY pos) AS c FROM (
-    SELECT a.cell, t.pos, round(avg(a.v[CAST(t.pos AS INT) + 1]), 6) AS m
-    FROM {prefix}a{i} a, range({dim}) t(pos)
-    GROUP BY a.cell, t.pos
-  ) GROUP BY cell
-)"""
-        )
-        parts.append(
-            f"""{prefix}c{i} AS (
-  SELECT p.cell, coalesce(m.c, p.c) AS c
-  FROM {prefix}c{i - 1} p LEFT JOIN {prefix}m{i} m ON m.cell = p.cell
-)"""
-        )
-    return parts
-
-
 def _ivfpq_sql(
     m: int = 4,
     k_codes: int = 8,
@@ -3492,12 +3603,17 @@ def _bpe_ctes(n_merges: int = 6) -> str:
 )"""
         )
         parts.append(f"m{r} AS (SELECT a, b FROM p{r} ORDER BY c DESC, a, b LIMIT 1)")
+        # LEFT JOIN ON TRUE, not CROSS JOIN: when the pair space is
+        # exhausted before n_merges, m{r} is empty — the engine's
+        # bpe_fit stops early and keeps the last state, so the oracle
+        # must pass sym through unchanged rather than zero the table.
         parts.append(
             f"""s{r} AS (
   SELECT w, n,
-         replace(sym, '|' || m.a || '||' || m.b || '|',
-                      '|' || m.a || m.b || '|') AS sym
-  FROM s{r - 1} CROSS JOIN m{r} m
+         CASE WHEN m.a IS NULL THEN sym
+              ELSE replace(sym, '|' || m.a || '||' || m.b || '|',
+                           '|' || m.a || m.b || '|') END AS sym
+  FROM s{r - 1} LEFT JOIN m{r} m ON TRUE
 )"""
         )
     return "WITH " + ",\n".join(parts)
@@ -3704,37 +3820,39 @@ QUERY_ORDER: list[str] = [
     # EP1 flagship + CDC core (W1/J1/M1-M16/F4/S8/S10)
     "cdc_apply",
     "cdc_dedup_max_lsn",
+    "cdc_dedup_salted",
     "cdc_dup_keys",
     "cdc_route_counts",
     "cdc_lookup_join",
     "cdc_apply_replace_only",
     "cdc_apply_perfect_gate",
-    "conditional_move",
-    "key_extraction",
-    "normalize_text",
-    "online_classifier_counts",
-    "mismatch_join",
-    "dup_role_report",
-    "field_change_counts",
     "field_audit_diffs",
-    "map_lookup_location",
-    "pipe_parse_derive",
     "local_id_assign",
     "conv_sessions",
     # OLAP / window / set ops
     "asof_plan_lookup",
     "range_join_session_events",
     "rollup_route_metrics",
-    "value_percentiles",
     "keys_new_in_feed",
-    "keys_touched_overlap",
+    # r05: the two formerly rows-only queries, reworked with real
+    # derived oracles (HLL ±5% assertion; levenshtein cross-check +
+    # InDel sandwich band) — new oracle forms, so they take window
+    # slots for first attestation (displacing value_percentiles and
+    # quality_calibration, both r03/r04 driver-green; percentile and
+    # calibration shapes stay pinned by rollup_route_metrics and
+    # text_quality in-window).
+    "approx_distinct_convs",
+    "fuzzy_ratio_pairs",
     # LLM-pipeline: dedup family
     "exact_dedup",
     "minhash_lsh_pairs",
     "ngram_neardup_pairs",
     "simhash_banded_pairs",
     "passage_dup_pairs",
-    "first_seen_docs",
+    # new r05: real-codec decode proof (displaces first_seen_docs —
+    # r04 green; the first-seen ledger shape stays pinned by
+    # test_dedup_stream + the exact_dedup hash family in-window)
+    "media_decode_features",
     # LLM-pipeline: similarity search / clustering
     "lsh_multitable_ann_topk",
     "ivf_ann_topk",
@@ -3752,10 +3870,21 @@ QUERY_ORDER: list[str] = [
     "temperature_sample",
     "vocab_top_ngrams",
     "pack_contexts",
-    "quality_calibration",
     "source_mix_report",
     "corpus_to_contexts",
     "corpus_curation",
+    # r05 rotation IN: every r04 local-gate-only query takes a window
+    # slot for its first driver attestation, plus cdc_dedup_salted (the
+    # north-star skew path, back in-window for a current-round row).
+    "lm_doc_perplexity",
+    "ivfpq_ann_topk",
+    "ivfpq_rerank_topk",
+    "fuzzy_decontam_pairs",
+    "weighted_sample_docs",
+    "bpe_vocab_topk",
+    "bpe_doc_token_counts",
+    "chunk_docs",
+    "rp_ivf_topk",
     # ---- rotation tail (slot 51+): operators transitively proven by an
     # in-window query; each holds a green driver row from a prior round
     # (per-query last-proven round table: README §"Correctness proof
@@ -3790,22 +3919,37 @@ QUERY_ORDER: list[str] = [
     # window, displacing dedup_components and lang_id — both r01-r03
     # green AND transitively pinned in-window by corpus_curation, whose
     # end-to-end oracle replays the connected-components contraction
-    # and the lang-marker scoring verbatim. lm_doc_perplexity and
-    # ivfpq_ann_topk are newer still and start here in the tail
-    # (local-gate proven at two scale factors).
+    # and the lang-marker scoring verbatim.
+    # r05 rotation OUT (making room for the nine r04 local-gate-only
+    # queries + cdc_dedup_salted): ten multi-round-green queries whose
+    # operators stay pinned in-window or by pinned tests —
+    # normalize_text + key_extraction (F1/F2/F5/F6/P1-P3/P7: the
+    # normalize→key path runs inside in-window cdc_apply;
+    # test_normalize_text pins the regex semantics), pipe_parse_derive
+    # + conditional_move + map_lookup_location (F7-F9/M8-M9/M11-M13/J4:
+    # test_policy replays each transform against golden frames),
+    # online_classifier_counts (P8/A5: routing pinned by in-window
+    # cdc_route_counts), mismatch_join (J3: comparison-join shape under
+    # in-window cdc_lookup_join), dup_role_report (A6: r02-r04 green),
+    # field_change_counts (A3: the groupBy rollup of in-window
+    # field_audit_diffs, same audit source), keys_touched_overlap
+    # (semi-join twin of in-window keys_new_in_feed over the same
+    # key sets).
+    "first_seen_docs",
+    "normalize_text",
+    "key_extraction",
+    "pipe_parse_derive",
+    "conditional_move",
+    "map_lookup_location",
+    "online_classifier_counts",
+    "mismatch_join",
+    "dup_role_report",
+    "field_change_counts",
+    "keys_touched_overlap",
     "dedup_components",
     "lang_id",
-    "lm_doc_perplexity",
-    "ivfpq_ann_topk",
-    "ivfpq_rerank_topk",
-    "fuzzy_decontam_pairs",
-    "weighted_sample_docs",
-    "bpe_vocab_topk",
-    "bpe_doc_token_counts",
-    "chunk_docs",
-    "rp_ivf_topk",
-    "approx_distinct_convs",
-    "cdc_dedup_salted",
+    "value_percentiles",
+    "quality_calibration",
     "exists_dup_keys",
     "mat_type_analysis",
     "simhash_dup_clusters",
@@ -3819,7 +3963,6 @@ QUERY_ORDER: list[str] = [
     "topk_orders_per_segment",
     "pricing_summary",
     "jaccard_pairs",
-    "fuzzy_ratio_pairs",
     "minhash_signatures",
     "simhash_16",
     "lsh_ann_topk",

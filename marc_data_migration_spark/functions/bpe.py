@@ -10,12 +10,18 @@ leaves the cluster:
 
 - the corpus collapses ONCE to the distinct-word frequency table (the
   classic BPE preprocessing; at 100 TB the word table is orders of
-  magnitude smaller than the corpus and is the only thing the rounds
-  touch — it is persisted so rounds read memory);
-- each round is one job: adjacent-pair counts over the symbolized words
-  (explode → partial-agg groupBy, shuffle bounded by the realized pair
-  vocabulary), then a deterministic argmax (count desc, pair asc)
-  collected to the driver;
+  magnitude smaller than the corpus and is the only thing training
+  ever touches);
+- the merge SCHEDULE is then trained DRIVER-LOCAL on the collected
+  word table (``_fit_local``: heap-argmax + incremental pair-count
+  maintenance touching only the words that contain the merged pair) —
+  a real 32k–100k-merge vocabulary is thousands of sequential argmax
+  rounds, which as per-round Spark jobs would be a driver-side
+  scheduling wall, while the word table itself is tiny relative to
+  the corpus (distinct normalized tokens, not occurrences). Only when
+  the realized vocabulary exceeds ``driver_vocab_cap`` does training
+  fall back to the per-round distributed job (explode → partial-agg
+  groupBy pair counts, deterministic argmax collected per round);
 - applying the learned merges is a chain of LITERAL string replaces —
   a pure projection, engine-portable, replayed digit-for-digit by the
   DuckDB oracle's unrolled per-round CTEs.
@@ -87,16 +93,103 @@ def _pair_rows(wc: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     )
 
 
+def _merge_word(syms: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
+    """Greedy left-to-right non-overlapping merge of (a, b) — the exact
+    semantics of the double-bar ``replace()`` used cluster-side."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _fit_local(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Train the merge schedule on a collected word table. Exact replay
+    of the naive recount-per-round algorithm (same argmax, same
+    (count desc, a asc, b asc) tie-break), but incremental: a lazy
+    max-heap over pair counts plus a pair→words inverted index, so
+    each round touches only the words containing the merged pair
+    instead of rescanning the table 32k times."""
+    import heapq
+    from collections import defaultdict
+
+    words: list[tuple[tuple[str, ...], int]] = [
+        (tuple(w), n) for w, n in word_counts
+    ]
+    pc: dict[tuple[str, str], int] = defaultdict(int)
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for idx, (syms, n) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pc[p] += n
+            where[p].add(idx)
+    heap = [(-c, a, b) for (a, b), c in pc.items()]
+    heapq.heapify(heap)
+    out: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = None
+        while heap:
+            negc, a, b = heapq.heappop(heap)
+            if pc.get((a, b), 0) == -negc:  # else stale entry: discard
+                best = (a, b, -negc)
+                break
+        if best is None:
+            break  # pair space exhausted
+        a, b, c = best
+        out.append(best)
+        touched: set[tuple[str, str]] = set()
+        for idx in sorted(where[(a, b)]):
+            syms, n = words[idx]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] -= n
+                where[p].discard(idx)
+                touched.add(p)
+            new = _merge_word(syms, a, b)
+            words[idx] = (new, n)
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pc[p] += n
+                where[p].add(idx)
+                touched.add(p)
+        for p in touched:
+            if pc[p] > 0:
+                heapq.heappush(heap, (-pc[p], p[0], p[1]))
+            else:
+                pc.pop(p, None)
+                where.pop(p, None)
+    return out
+
+
 def bpe_fit(
-    df: DataFrame, text_col: str = "text", n_merges: int = 6
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+    driver_vocab_cap: int = 2_000_000,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` merge rules; returns [(a, b, count), ...] in
     learned order. Ties break (count desc, a asc, b asc) so the
     schedule is deterministic in any engine. Stops early (shorter
-    list) only if the pair space is exhausted."""
+    list) only if the pair space is exhausted.
+
+    When the distinct-word table fits under ``driver_vocab_cap`` rows
+    (it does for any natural-language corpus — the table holds
+    distinct normalized tokens, not occurrences), the schedule is
+    trained driver-local in one collect + ``_fit_local``; otherwise
+    each round is one Spark job over the persisted word table."""
     wc = word_frequencies(df, text_col).persist()
     try:
-        wc.count()  # materialize once; every round reads memory
+        n_words = wc.count()  # materialize once
+        if n_words <= driver_vocab_cap:
+            rows = wc.collect()  # bounded: distinct words, not corpus
+            return _fit_local([(r["w"], int(r["n"])) for r in rows], n_merges)
         merges: list[tuple[str, str]] = []
         out: list[tuple[str, str, int]] = []
         for _ in range(n_merges):

@@ -1,0 +1,179 @@
+"""Pure-python reference media codecs (stdlib-only): uncompressed
+24-bit BMP and binary PPM (P6).
+
+These make ``decode_media``/``resize_media`` REAL tested operators
+instead of NotImplementedError seams: the container has no PIL/ffmpeg,
+but an uncompressed bitmap needs only ``struct`` — decode validates
+headers and yields the pixel grid, resize is a genuine decode →
+nearest-neighbor resample → re-encode pass. On a real cluster the same
+hook signatures take PIL/librosa/ffmpeg codecs; the Spark-side plumbing
+(mapInPandas batch shape, schemas, partitioning) is identical either
+way.
+
+Reference anchor: the reference's only binary handling is the
+``bad_writer`` passthrough (processors/oclc_update/record_update.py:
+248-252, bytes in → bytes out, no decode); this module goes beyond it
+with a real parse, so the multimodal family is a first-class operator
+set rather than a stub.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_BMP_HEADER = struct.Struct("<2sIHHI")  # magic, file size, res1, res2, data offset
+_BMP_INFO = struct.Struct("<IiiHHIIiiII")  # BITMAPINFOHEADER
+
+
+def encode_bmp(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Encode an RGB pixel grid (rows top-down, ``pixels[y][x] ==
+    (r, g, b)``) as an uncompressed 24-bit bottom-up BMP."""
+    h = len(pixels)
+    if h == 0 or len({len(r) for r in pixels}) != 1:
+        raise ValueError("pixels must be a non-empty rectangular grid")
+    w = len(pixels[0])
+    pad = (-3 * w) % 4  # each row padded to a 4-byte boundary
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up storage order
+        for r, g, b in pixels[y]:
+            rows += bytes((b, g, r))  # BGR on disk
+        rows += b"\x00" * pad
+    offset = _BMP_HEADER.size + _BMP_INFO.size
+    info = _BMP_INFO.pack(_BMP_INFO.size, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    head = _BMP_HEADER.pack(b"BM", offset + len(rows), 0, 0, offset)
+    return head + info + bytes(rows)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Decode an uncompressed 24-bit BMP → (width, height, pixels) with
+    rows top-down. Handles both bottom-up (height > 0) and top-down
+    (height < 0) storage. Raises ValueError on anything else."""
+    if len(payload) < _BMP_HEADER.size + _BMP_INFO.size:
+        raise ValueError("truncated BMP header")
+    magic, _, _, _, offset = _BMP_HEADER.unpack_from(payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    (hdr_size, w, h_raw, planes, bpp, compression, *_rest) = _BMP_INFO.unpack_from(
+        payload, _BMP_HEADER.size
+    )
+    if hdr_size < _BMP_INFO.size or planes != 1:
+        raise ValueError("unsupported BMP header")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = h_raw > 0
+    h = abs(h_raw)
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
+    stride = 3 * w + ((-3 * w) % 4)
+    if len(payload) < offset + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    grid: list[list[tuple[int, int, int]]] = []
+    for y in range(h):
+        src = h - 1 - y if bottom_up else y
+        base = offset + src * stride
+        row = []
+        for x in range(w):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            row.append((r, g, b))
+        grid.append(row)
+    return w, h, grid
+
+
+def encode_ppm(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Encode an RGB grid as binary PPM (P6, maxval 255)."""
+    h = len(pixels)
+    if h == 0 or len({len(r) for r in pixels}) != 1:
+        raise ValueError("pixels must be a non-empty rectangular grid")
+    w = len(pixels[0])
+    body = bytes(c for row in pixels for px in row for c in px)
+    return f"P6\n{w} {h}\n255\n".encode() + body
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Decode binary PPM (P6) → (width, height, pixels top-down)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace/comment-
+    # separated tokens, then a single whitespace byte before the body
+    toks: list[int] = []
+    i = 2
+    while len(toks) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i < len(payload) and payload[i : i + 1] == b"#":  # comment line
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        toks.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = toks
+    if w <= 0 or h <= 0 or maxval != 255:
+        raise ValueError("unsupported PPM (need positive dims, maxval 255)")
+    if len(payload) < i + 3 * w * h:
+        raise ValueError("truncated PPM pixel data")
+    grid = []
+    for y in range(h):
+        base = i + y * 3 * w
+        grid.append(
+            [
+                tuple(payload[base + 3 * x : base + 3 * x + 3])
+                for x in range(w)
+            ]
+        )
+    return w, h, grid
+
+
+def decode_image(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Sniff-and-decode: BMP or P6 PPM."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise ValueError("unsupported image payload (BMP and P6 PPM supported)")
+
+
+def image_features(payload: bytes, kind: str) -> list[float]:
+    """Default codec hook for ``decode_media`` on image rows: real
+    decode → [width, height, mean_r, mean_g, mean_b]. Non-image kinds
+    and undecodable payloads raise (quarantine upstream or pass a
+    kind-routing codec)."""
+    if kind != "image":
+        raise ValueError(f"image_features got kind={kind!r}")
+    w, h, grid = decode_image(payload)
+    n = w * h
+    sums = [0, 0, 0]
+    for row in grid:
+        for px in row:
+            sums[0] += px[0]
+            sums[1] += px[1]
+            sums[2] += px[2]
+    return [float(w), float(h), sums[0] / n, sums[1] / n, sums[2] / n]
+
+
+def resample_nn(
+    grid: list[list[tuple[int, int, int]]], out_w: int, out_h: int
+) -> list[list[tuple[int, int, int]]]:
+    """Nearest-neighbor resample (the classic index-scaling form)."""
+    in_h, in_w = len(grid), len(grid[0])
+    return [
+        [grid[(y * in_h) // out_h][(x * in_w) // out_w] for x in range(out_w)]
+        for y in range(out_h)
+    ]
+
+
+def image_resize(payload: bytes, kind: str, target_bytes: int) -> bytes:
+    """Real resize hook for ``resize_media``: decode → nearest-neighbor
+    resample to the largest square whose 24-bit pixel data fits
+    ``target_bytes`` → re-encode in the payload's own format."""
+    if kind != "image":
+        raise ValueError(f"image_resize got kind={kind!r}")
+    side = max(int((target_bytes / 3) ** 0.5), 1)
+    w, h, grid = decode_image(payload)
+    out = resample_nn(grid, side, side)
+    return encode_bmp(out) if payload[:2] == b"BM" else encode_ppm(out)

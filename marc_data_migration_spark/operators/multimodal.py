@@ -2,12 +2,17 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 pipelines.
 
-The decode step is STUBBED (no image/audio libs in this container):
-``decode_media`` raises ``NotImplementedError`` unless a codec hook is
-injected, and ``fake_decode`` provides the deterministic stand-in used
-by tests/benchmarks. Everything around the stub — schema, batch
-iteration, partitioning, feature extraction signatures — is the real
-Spark plumbing a production decode would run in.
+The DEFAULT decode/resize hooks are REAL pure-python codecs
+(operators/codecs.py: uncompressed 24-bit BMP + binary PPM) — decode
+parses headers/stride/BGR/bottom-up storage and extracts pixel
+statistics; resize is decode → nearest-neighbor resample → re-encode.
+They cover image-kind rows; audio/video rows (no pure-python codec
+exists for compressed formats) take an injected hook —
+``fake_decode``/``fake_resize`` are the deterministic byte-level
+stand-ins used where a mixed-kind table must flow end-to-end in this
+container, and a real cluster injects PIL/librosa/ffmpeg through the
+same signatures. The Spark plumbing (schemas, Arrow batch iteration,
+partitioning) is identical for every hook.
 
 Scale notes: media payloads dominate bytes; keep them in their own
 table keyed like the transcripts (conv_id, turn_idx), repartitioned by
@@ -54,6 +59,56 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_image_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL image table from the documents fixture: one
+    encoded bitmap per doc — BMP, with every third row P6 PPM so both
+    container formats flow through the same pipeline. Dimensions and
+    pixel values are pure arithmetic in media_id, so decoded statistics
+    are closed-form replayable by a SQL oracle:
+
+        w = 8 + id % 5, h = 6 + id % 4
+        r = (7x + 13y + 31·id) % 256
+        g = (11x + 17y + id)  % 256
+        b = (5x + 3y + 23·id) % 256
+
+    Encoding runs distributed in mapInPandas (payload bytes are built
+    executor-side; the driver never sees a pixel)."""
+    from .codecs import encode_bmp, encode_ppm
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 8 + mid % 5, 6 + mid % 4
+                grid = [
+                    [
+                        (
+                            (7 * x + 13 * y + 31 * mid) % 256,
+                            (11 * x + 17 * y + mid) % 256,
+                            (5 * x + 3 * y + 23 * mid) % 256,
+                        )
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                enc = encode_ppm if mid % 3 == 0 else encode_bmp
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "conv_id": f"conv-{mid % 100}",
+                        "kind": "image",
+                        "payload": enc(grid),
+                        "meta": {"w": str(w), "h": str(h)},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "conv_id", "kind", "payload", "meta"])
+
+    return docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
 def fake_decode(payload: bytes, kind: str) -> list[float]:
     """Deterministic decode stand-in: fixed-length byte statistics.
     Replace with a real PIL/librosa/ffmpeg hook on a real cluster."""
@@ -72,12 +127,13 @@ def decode_media(
     df: DataFrame, codec: Callable[[bytes, str], list[float]] | None = None
 ) -> DataFrame:
     """mapInPandas feature-extraction pipeline over the media table.
-    ``codec`` decodes one payload → feature vector; None raises (stub)."""
+    ``codec`` decodes one payload → feature vector. The default is the
+    real pure-python image codec (BMP/PPM parse → [w, h, mean_r,
+    mean_g, mean_b]); it raises inside the task on non-image kinds or
+    undecodable payloads, so filter/route first or inject a
+    kind-routing codec for mixed tables."""
     if codec is None:
-        raise NotImplementedError(
-            "no media codec in this environment — pass codec=fake_decode "
-            "or a real decoder (PIL/librosa) on a cluster with the libs"
-        )
+        from .codecs import image_features as codec
     import hashlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -139,16 +195,14 @@ def resize_media(
     target_bytes: int = 256,
     resizer: Callable[[bytes, str, int], bytes] | None = None,
 ) -> DataFrame:
-    """mapInPandas resize pass — same Arrow-batched plumbing a real
-    image/audio rescale runs in (binary in → binary out, metadata map
-    updated with the new size; schema/partitioning/batch shape are the
-    real contract, the byte transform is the stub). ``resizer=None``
-    raises, mirroring decode_media's stubbed-codec policy."""
+    """mapInPandas resize pass — binary in → binary out, metadata map
+    updated with the new size. The default resizer is the real image
+    path (decode → nearest-neighbor resample to the largest square
+    fitting ``target_bytes`` → re-encode); like decode_media it raises
+    in-task on non-image rows, and ``fake_resize`` (byte truncate/pad)
+    stands in for the codecs this container lacks."""
     if resizer is None:
-        raise NotImplementedError(
-            "no media resizer in this environment — pass resizer=fake_resize "
-            "or a real rescaler (PIL/ffmpeg) on a cluster with the libs"
-        )
+        from .codecs import image_resize as resizer
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

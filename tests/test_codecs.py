@@ -1,0 +1,139 @@
+"""Pure-python media codecs (operators/codecs.py) + the real default
+decode/resize hooks through the Spark mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from marc_data_migration_spark.operators.codecs import (
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+    image_features,
+    image_resize,
+    resample_nn,
+)
+
+GRID_3x2 = [  # rows top-down; w=3 forces a 3-byte BMP row pad (9 % 4)
+    [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+    [(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+]
+
+
+def test_bmp_roundtrip_with_row_padding():
+    payload = encode_bmp(GRID_3x2)
+    w, h, grid = decode_bmp(payload)
+    assert (w, h) == (3, 2)
+    assert grid == GRID_3x2
+    # stride = 3*3 + 3 pad = 12; file = 54 header + 2*12 pixel bytes
+    assert len(payload) == 54 + 24
+
+
+def test_bmp_top_down_negative_height():
+    """Top-down BMPs store height < 0 and rows in natural order."""
+    import struct
+
+    payload = bytearray(encode_bmp(GRID_3x2))
+    # flip height sign and reverse the stored row order
+    struct.pack_into("<i", payload, 14 + 8, -2)
+    stride = 12
+    rows = payload[54:]
+    payload[54:] = rows[stride:] + rows[:stride]
+    w, h, grid = decode_bmp(bytes(payload))
+    assert (w, h, grid) == (3, 2, GRID_3x2)
+
+
+def test_ppm_roundtrip_and_comments():
+    payload = encode_ppm(GRID_3x2)
+    assert decode_ppm(payload) == (3, 2, GRID_3x2)
+    commented = payload.replace(b"P6\n", b"P6\n# a comment line\n", 1)
+    assert decode_ppm(commented) == (3, 2, GRID_3x2)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [b"", b"BM123", b"P6\n3 2\n65535\n" + b"\x00" * 18, b"GIF89a....."],
+)
+def test_decode_rejects_garbage(bad):
+    with pytest.raises(ValueError):
+        decode_image(bad)
+
+
+def test_resample_nn_known_grid():
+    """4x4 → 2x2 nearest-neighbor picks indices 0 and 2 on each axis."""
+    g = [[(x * 10 + y, 0, 0) for x in range(4)] for y in range(4)]
+    out = resample_nn(g, 2, 2)
+    assert [[px[0] for px in row] for row in out] == [[0, 20], [2, 22]]
+
+
+def test_image_features_exact():
+    feats = image_features(encode_bmp(GRID_3x2), "image")
+    assert feats[:2] == [3.0, 2.0]
+    assert feats[2] == pytest.approx((255 + 0 + 0 + 1 + 4 + 7) / 6)
+    assert feats[3] == pytest.approx((0 + 255 + 0 + 2 + 5 + 8) / 6)
+    assert feats[4] == pytest.approx((0 + 0 + 255 + 3 + 6 + 9) / 6)
+    with pytest.raises(ValueError, match="kind"):
+        image_features(encode_bmp(GRID_3x2), "audio")
+
+
+def test_image_resize_real_resample():
+    """Resize = decode → NN resample → re-encode in the same format,
+    sized to the byte budget (side = floor(sqrt(target/3)))."""
+    big = [[(x % 256, y % 256, (x + y) % 256) for x in range(16)] for y in range(16)]
+    out = image_resize(encode_bmp(big), "image", target_bytes=48)  # side 4
+    w, h, grid = decode_bmp(out)
+    assert (w, h) == (4, 4)
+    assert grid == resample_nn(big, 4, 4)
+    out_ppm = image_resize(encode_ppm(big), "image", target_bytes=48)
+    assert out_ppm[:2] == b"P6" and decode_ppm(out_ppm)[2] == resample_nn(big, 4, 4)
+
+
+def test_decode_media_default_real_codec_end_to_end(spark):
+    """Planted deterministic bitmaps through the REAL default hook: the
+    decoded dimensions and channel means must equal the closed-form
+    pixel arithmetic, for both BMP and PPM rows."""
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.operators.multimodal import (
+        decode_media,
+        synthesize_image_media,
+    )
+
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    feats = {
+        r.media_id: r.feat
+        for r in decode_media(synthesize_image_media(docs)).collect()
+    }
+    assert len(feats) == 40
+    for mid in range(40):
+        w, h = 8 + mid % 5, 6 + mid % 4
+        n = w * h
+        want = [
+            float(w),
+            float(h),
+            sum((7 * x + 13 * y + 31 * mid) % 256 for x in range(w) for y in range(h)) / n,
+            sum((11 * x + 17 * y + mid) % 256 for x in range(w) for y in range(h)) / n,
+            sum((5 * x + 3 * y + 23 * mid) % 256 for x in range(w) for y in range(h)) / n,
+        ]
+        assert feats[mid] == pytest.approx(want), mid
+
+
+def test_resize_media_default_real_resizer_end_to_end(spark):
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.operators.multimodal import (
+        resize_media,
+        synthesize_image_media,
+    )
+
+    docs = spark.range(12).select(F.col("id").alias("doc_id"))
+    out = resize_media(
+        synthesize_image_media(docs), target_bytes=27  # side 3
+    ).collect()
+    assert len(out) == 12
+    for r in out:
+        w, h, _ = decode_image(bytes(r.payload))
+        assert (w, h) == (3, 3)
+        assert r.meta["resized_bytes"] == "27"

@@ -996,6 +996,46 @@ def test_bpe_doc_token_counts_matches_reference(spark):
     assert got == want  # empty doc 2 produces no row
 
 
+def test_bpe_local_matches_distributed_schedule(spark):
+    """The driver-local trainer (heap + incremental pair counts) and
+    the per-round distributed fallback must learn the IDENTICAL
+    schedule — force the fallback with driver_vocab_cap=0."""
+    from marc_data_migration_spark.functions.bpe import bpe_fit
+
+    texts = [
+        "lower lower lower newest newest widest zzzz",
+        "lowest newest newest lower zz zzz",
+        "wider wider newest banana bandana",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    local = bpe_fit(docs, n_merges=12)
+    dist = bpe_fit(docs, n_merges=12, driver_vocab_cap=0)
+    assert local == dist and len(local) == 12
+
+
+def test_bpe_fit_real_vocab_size():
+    """Real-vocab-scale schedule (n_merges=1000) on a synthetic Zipfian
+    word table: _fit_local must replay the naive recount reference
+    exactly — every rule, every count — and run in seconds (the
+    per-round-Spark-job wall this path exists to avoid)."""
+    import random
+
+    from marc_data_migration_spark.functions.bpe import _fit_local
+
+    rng = random.Random(42)
+    alpha = "abcdefghij"
+    wc = {}
+    for i in range(3000):
+        w = "".join(rng.choice(alpha) for _ in range(rng.randint(2, 12)))
+        wc[w] = wc.get(w, 0) + (3000 // (i + 1)) + 1
+    got = _fit_local(sorted(wc.items()), 1000)
+    want, _ = _ref_bpe(wc, n_merges=1000)
+    assert got == want
+    assert len(got) == 1000
+
+
 def test_chunk_documents_boundaries(spark):
     """Hand-checked chunk grid: window 5, stride 3 over 8 tokens ->
     starts 1,4,7; tail chunk short; overlap = window-stride tokens;

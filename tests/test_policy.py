@@ -61,8 +61,10 @@ def test_local_id_deterministic(spark):
     assert a == b and len(set(a)) == len(a)
 
 
-def test_decode_media_requires_codec(spark):
-    """The decode step is a stub without an injected codec."""
+def test_decode_media_default_rejects_non_image(spark):
+    """The default codec is the REAL image parser: non-image payloads
+    (synthesize_media emits utf-8 text blobs) must fail loudly in-task,
+    not silently produce features."""
     import pytest as _pytest
 
     from marc_data_migration_spark.operators.multimodal import (
@@ -73,13 +75,13 @@ def test_decode_media_requires_codec(spark):
     docs = spark.createDataFrame(
         pd.DataFrame({"doc_id": [1], "text": ["abc"], "n_chars": [3]})
     )
-    with _pytest.raises(NotImplementedError):
-        decode_media(synthesize_media(docs))
+    with _pytest.raises(Exception, match="image_features|unsupported image"):
+        decode_media(synthesize_media(docs)).collect()
 
 
 def test_resize_media_stub_contract(spark):
     """resize_media: binary in → binary out at the target size, metadata
-    updated; refuses to run without an injected resizer (stub policy)."""
+    updated; the default (real image) resizer rejects non-image blobs."""
     import pytest
 
     from marc_data_migration_spark.operators.multimodal import (
@@ -90,8 +92,8 @@ def test_resize_media_stub_contract(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
     media = synthesize_media(docs)
-    with pytest.raises(NotImplementedError):
-        resize_media(media)
+    with pytest.raises(Exception, match="image_resize|unsupported image"):
+        resize_media(media).collect()
     out = resize_media(media, target_bytes=32, resizer=fake_resize).collect()
     assert len(out) == 20
     assert all(len(r.payload) == 32 for r in out)
