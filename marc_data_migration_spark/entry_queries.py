@@ -581,25 +581,48 @@ FROM s
 """,
 )
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two explode(array(struct(...))) barriers pin each expensive
+    # expression to exactly ONE evaluation: the token-sort regexp
+    # chain (layer 1), then the UDF score + levenshtein + lengths
+    # (layer 2); the band arithmetic above reads struct fields only.
+    # Without the Generate barriers, projection collapse inlined the
+    # chains/levenshtein into every reference — measured 6.2 s vs
+    # 3.1 s at sf0.1. The UDF scores sa/sb directly: full_process /
+    # truncate / token-sort are idempotent on an already token-sorted
+    # processed string, so the score is unchanged (pinned by the
+    # oracle and the DP-replay tests).
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     a = docs.select(F.col("doc_id"), F.col("text").alias("a_text"))
     b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("b_text"))
-    pr = a.join(b, "doc_id").select(
+    l1 = a.join(b, "doc_id").select(
         "doc_id",
-        token_sort_ratio(
-            normalize_text("a_text"), normalize_text("b_text")
-        ).alias("ratio"),
-        _tok_sort_col("a_text").alias("sa"),
-        _tok_sort_col("b_text").alias("sb"),
+        F.explode(
+            F.array(
+                F.struct(
+                    _tok_sort_col("a_text").alias("sa"),
+                    _tok_sort_col("b_text").alias("sb"),
+                )
+            )
+        ).alias("s"),
     )
-    lev = F.levenshtein("sa", "sb").cast("bigint")
-    t = (F.length("sa") + F.length("sb")).cast("bigint")
-    r = F.col("ratio").cast("double")
+    l2 = l1.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    token_sort_ratio(F.col("s.sa"), F.col("s.sb")).alias("ratio"),
+                    F.levenshtein("s.sa", "s.sb").cast("bigint").alias("lev"),
+                    (F.length("s.sa") + F.length("s.sb")).cast("bigint").alias("t"),
+                )
+            )
+        ).alias("m"),
+    )
+    r, t, lev = F.col("m.ratio").cast("double"), F.col("m.t"), F.col("m.lev")
     band = (
         (r * t >= 100.0 * (t - 2 * lev) - 0.51 * t)
         & (r * t <= 100.0 * (t - lev) + 0.51 * t)
     )
-    return pr.select(
+    return l2.select(
         "doc_id",
         lev.alias("lev"),
         t.alias("t_len"),
