@@ -311,6 +311,18 @@ def _load_prior_bench(sf: float) -> tuple[str, dict] | None:
     return None
 
 
+# Queries whose DEFINITION changed since the prior recorded bench, so a
+# cross-round time ratio compares different work. Flags for these land
+# under "expected" (with the reason) instead of "flagged"; remove each
+# entry once a bench at the new definition has been recorded.
+SEMANTICS_CHANGED: dict[str, str] = {
+    "fuzzy_ratio_pairs": (
+        "r05 derived oracle added JVM levenshtein + InDel band columns "
+        "(r04 form was rows-only UDF score)"
+    ),
+}
+
+
 def regression_gate(
     timings: dict[str, float], sf: float, threshold: float = 2.0
 ) -> dict | None:
@@ -319,8 +331,10 @@ def regression_gate(
     raw ratios are normalized by the MEDIAN ratio across all shared
     queries (the phase hits every query alike; a real regression is a
     per-query outlier against it). Queries whose normalized ratio
-    exceeds ``threshold`` are flagged loudly on stderr; with
-    --strict-regression the process exits 1 after printing the JSON."""
+    exceeds ``threshold`` are flagged loudly on stderr — except those
+    annotated in SEMANTICS_CHANGED, which report under "expected" with
+    the reason; with --strict-regression the process exits 1 after
+    printing the JSON."""
     import statistics
 
     prior = _load_prior_bench(sf)
@@ -344,12 +358,19 @@ def regression_gate(
         for q, r in sorted(ratios.items())
         if med > 0 and r / med > threshold
     }
+    expected = {
+        q: {**v, "reason": SEMANTICS_CHANGED[q]}
+        for q, v in flagged.items()
+        if q in SEMANTICS_CHANGED
+    }
+    flagged = {q: v for q, v in flagged.items() if q not in SEMANTICS_CHANGED}
     out = {
         "baseline": name,
         "n_shared": len(ratios),
         "median_ratio": round(med, 3),
         "threshold_x": threshold,
         "flagged": flagged,
+        "expected": expected,
     }
     if flagged:
         print(
