@@ -93,3 +93,55 @@ def test_random_feed_matches_oracle(spark, events, strategy):
     assert got.lsn.tolist() == want.lsn.tolist()
     assert got.role.fillna("<N>").tolist() == want.role.fillna("<N>").tolist()
     assert got.tool.fillna("<N>").tolist() == want.tool.fillna("<N>").tolist()
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_ratio_pairs oracle derivation: the registry query's band check
+# (entry_queries.q_fuzzy_pairs) rests on two mathematical claims that
+# the corpus pairs alone can't falsify exhaustively. Property-pin both
+# over arbitrary unicode text:
+#   (1) idempotence — full_process / truncate / token-sort applied to
+#       an already token-sorted processed string is the identity, so
+#       the UDF scoring (sa, sb) equals scoring the original texts;
+#   (2) the InDel sandwich — lev <= InDel <= 2*lev rearranged onto the
+#       rounded ratio: 100*(T-2*lev)/T - 0.51 <= ratio*1 <=
+#       100*(T-lev)/T + 0.51 (as r*t vs 100*(t-2*lev) +/- 0.51*t).
+# ---------------------------------------------------------------------------
+
+
+def _tok_sort_py(text: str) -> str:
+    from marc_data_migration_spark.functions.similarity import (
+        MAX_CMP_CHARS,
+        full_process,
+    )
+
+    return " ".join(sorted(full_process(text)[:MAX_CMP_CHARS].split()))
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_tok_sort_pipeline_idempotent(text):
+    s = _tok_sort_py(text)
+    assert _tok_sort_py(s) == s
+
+
+@given(st.text(max_size=120), st.text(max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_ratio_indel_band(a, b):
+    from marc_data_migration_spark.functions.similarity import token_sort_ratio_py
+
+    sa, sb = _tok_sort_py(a), _tok_sort_py(b)
+    r = token_sort_ratio_py(sa, sb)
+    lev = _lev(sa, sb)
+    t = len(sa) + len(sb)
+    assert 100.0 * (t - 2 * lev) - 0.51 * t <= r * t <= 100.0 * (t - lev) + 0.51 * t
