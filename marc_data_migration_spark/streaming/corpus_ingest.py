@@ -113,8 +113,15 @@ class CorpusIngest:
             ],
             METRICS_SCHEMA,
         )
+        # repartition(1), NOT coalesce(1): createDataFrame over Python
+        # rows parallelizes into defaultParallelism pickled partitions,
+        # and coalesce(1) makes a single task evaluate every one of
+        # them through the Python runner sequentially — measured ~4.5 s
+        # per 1-row metrics commit (bench.ingest_run profile), ~35% of
+        # the whole ingest batch. repartition's shuffle evaluates the
+        # parents in parallel first; the 1-row write itself is ~0.5 s.
         (
-            metrics.coalesce(1)
+            metrics.repartition(1)
             .write.mode("overwrite")
             .partitionBy("batch_id")
             .option("partitionOverwriteMode", "dynamic")
