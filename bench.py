@@ -470,7 +470,10 @@ def stream_e2e_run(
             (
                 synth_feed(spark, per_chunk, n_convs)
                 .withColumn("lsn", F.col("lsn") + i * per_chunk)
-                .coalesce(1)
+                # repartition, not coalesce: coalesce(1) would generate
+                # the whole chunk in one task (untimed, but slow setup
+                # at 8M-event runs); the shuffle generates in parallel
+                .repartition(1)
                 .write.mode("overwrite")
                 .parquet(stage)
             )
