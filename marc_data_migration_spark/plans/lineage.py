@@ -55,13 +55,26 @@ def batch_lineage(
     # quarantine count and guarantees a ledger entry even for a batch
     # whose every row was quarantined (routed empty -> no per-partition
     # rows -> without this the replay guard would re-append bad rows).
+    # spark.range(1) + lits, NOT createDataFrame([row]): createDataFrame
+    # over Python rows parallelizes into defaultParallelism pickled
+    # partitions, and the commit's single-file write then paid one
+    # Python-runner evaluation per partition — ~4.6 s per batch for
+    # this one literal row (decomposed A/B in BENCH/BASELINE.md r05).
+    # range(1) is a JVM-side 1-partition relation; the row costs ~0.
     spark = routed.sparkSession
-    summary = spark.createDataFrame(
-        [(int(batch_id), -1, None, None, 0, 0, 0, 0, 0, int(n_bad))],
-        "batch_id long, partition_id int, lsn_min long, lsn_max long, "
-        "rows_applied long, rows_inserted long, rows_updated long, "
-        "rows_deleted long, conflict_count long, rows_quarantined long",
-    ).withColumn("commit_ts", F.current_timestamp())
+    summary = spark.range(1).select(
+        F.lit(int(batch_id)).cast("long").alias("batch_id"),
+        F.lit(-1).cast("int").alias("partition_id"),
+        F.lit(None).cast("long").alias("lsn_min"),
+        F.lit(None).cast("long").alias("lsn_max"),
+        F.lit(0).cast("long").alias("rows_applied"),
+        F.lit(0).cast("long").alias("rows_inserted"),
+        F.lit(0).cast("long").alias("rows_updated"),
+        F.lit(0).cast("long").alias("rows_deleted"),
+        F.lit(0).cast("long").alias("conflict_count"),
+        F.lit(int(n_bad)).cast("long").alias("rows_quarantined"),
+        F.current_timestamp().alias("commit_ts"),
+    )
     return per_part.unionByName(summary)
 
 

@@ -397,12 +397,16 @@ class ParquetMergeSink:
         lineage = batch_lineage(
             res.routed, batch_id, n_partitions=self.n_buckets, n_bad=n_bad
         )
-        # repartition(1), NOT coalesce(1): coalesce propagates the
-        # 1-partition constraint below the final agg's exchange, so the
-        # partial agg scans the whole cached join in a single task —
-        # measured 7.2 s vs 0.9 s per 500k-event batch. repartition
-        # inserts a shuffle barrier above the agg, keeping the scan
-        # parallel while still committing one lineage file per batch.
+        # repartition(1), NOT coalesce(1) — measured 7.2 s vs 0.9 s per
+        # 500k-event batch for this ~33-row write. Decomposed (BENCH/
+        # BASELINE.md r05): the dominant cost was the summary row's
+        # createDataFrame Python partitions evaluated sequentially in
+        # the coalesced task (~4.6 s; since fixed at the source —
+        # batch_lineage builds the summary JVM-side via range(1)), plus
+        # coalesce propagating the 1-partition constraint below the
+        # final agg's exchange so the partial agg scanned the cached
+        # join in one task (~1.7 s). repartition keeps both parallel
+        # while still committing one lineage file per batch.
         lineage.repartition(1).write.mode("append").parquet(self.lineage_path)
         # The lineage append IS the commit — reconcile the in-memory
         # ledger cache NOW, not at the end of apply_merge: if an audit
