@@ -101,28 +101,22 @@ class CorpusIngest:
         )
         kept.unpersist()
         gated.unpersist()
-        metrics = self.spark.createDataFrame(
-            [
-                (
-                    batch_id,
-                    n_in,
-                    n_in - n_good,
-                    n_good - n_kept,
-                    n_kept,
-                )
-            ],
-            METRICS_SCHEMA,
+        # range(1) + lits, NOT createDataFrame([row]): the latter
+        # parallelizes one Python row into defaultParallelism pickled
+        # partitions, and the single-file commit then paid one
+        # sequential Python-runner evaluation per partition — measured
+        # ~4.5 s per 1-row metrics commit (bench.ingest_run profile),
+        # ~35% of the whole ingest batch. range(1) is a 1-partition
+        # JVM relation; the commit is the ~0.5 s write alone.
+        metrics = self.spark.range(1).select(
+            F.lit(int(batch_id)).cast("long").alias("batch_id"),
+            F.lit(int(n_in)).cast("long").alias("n_in"),
+            F.lit(int(n_in - n_good)).cast("long").alias("n_low_quality"),
+            F.lit(int(n_good - n_kept)).cast("long").alias("n_dups"),
+            F.lit(int(n_kept)).cast("long").alias("n_kept"),
         )
-        # repartition(1), NOT coalesce(1): createDataFrame over Python
-        # rows parallelizes into defaultParallelism pickled partitions,
-        # and coalesce(1) makes a single task evaluate every one of
-        # them through the Python runner sequentially — measured ~4.5 s
-        # per 1-row metrics commit (bench.ingest_run profile), ~35% of
-        # the whole ingest batch. repartition's shuffle evaluates the
-        # parents in parallel first; the 1-row write itself is ~0.5 s.
         (
-            metrics.repartition(1)
-            .write.mode("overwrite")
+            metrics.write.mode("overwrite")
             .partitionBy("batch_id")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self.metrics_path)
