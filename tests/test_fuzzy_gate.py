@@ -122,3 +122,31 @@ def test_quarantine_count_in_lineage(spark, tmp_path):
     lin = sink.lineage().toPandas()
     assert int(lin.rows_quarantined.max()) == 3
     assert sink.spark.read.parquet(sink.bad_path).count() == 3
+
+
+def test_lineage_plan_is_jvm_side(spark):
+    """The batch_lineage summary row must stay a JVM LocalRelation
+    (range(1) + lits), never a createDataFrame over Python rows: the
+    latter parallelizes into defaultParallelism pickled partitions and
+    a single-partition commit evaluates them through the Python runner
+    sequentially (~4.6 s per batch for one literal row — the r05
+    stream-commit find, BENCH/BASELINE.md). ExistingRDD in the
+    executed plan is the signature of the regression."""
+    from pyspark.sql import functions as F
+
+    from marc_data_migration_spark.plans.lineage import batch_lineage
+
+    routed = spark.range(10).select(
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("U").alias("op"),
+        F.col("id").alias("lsn"),
+        F.lit("updated").alias("route"),
+        F.lit(0).alias("conflict"),
+    )
+    lin = batch_lineage(routed, 7, n_partitions=8, n_bad=3)
+    plan = lin._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan
+    # and the row itself is right: one -1 summary row carrying n_bad
+    summary = [r for r in lin.collect() if r["partition_id"] == -1]
+    assert len(summary) == 1 and summary[0]["rows_quarantined"] == 3
