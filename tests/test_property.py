@@ -145,3 +145,58 @@ def test_ratio_indel_band(a, b):
     lev = _lev(sa, sb)
     t = len(sa) + len(sb)
     assert 100.0 * (t - 2 * lev) - 0.51 * t <= r * t <= 100.0 * (t - lev) + 0.51 * t
+
+
+def _naive_bpe_schedule(word_counts, n_merges):
+    """Recount-per-round reference for the merge schedule (the exact
+    argmax + (count desc, a asc, b asc) tie-break _fit_local claims)."""
+    words = dict(word_counts)
+    out = []
+    for _ in range(n_merges):
+        pc = {}
+        for syms, n in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + n
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((a, b, c))
+        new = {}
+        for syms, n in words.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            key = tuple(merged)
+            new[key] = new.get(key, 0) + n
+        words = new
+    return out
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="ab", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_local_schedule_matches_naive(word_counts, n_merges):
+    """_fit_local's lazy-heap + incremental pair maintenance must equal
+    the recount-per-round reference on ARBITRARY word tables — two-char
+    alphabet maximizes consecutive-run ('banana') and tie-break cases,
+    and n_merges routinely exhausts the pair space."""
+    from marc_data_migration_spark.functions.bpe import _fit_local
+
+    got = _fit_local(list(word_counts.items()), n_merges)
+    want = _naive_bpe_schedule(
+        {tuple(w): n for w, n in word_counts.items()}, n_merges
+    )
+    assert got == want
