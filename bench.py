@@ -288,8 +288,15 @@ def _load_prior_bench(sf: float) -> tuple[str, dict] | None:
     import glob
     import re
 
+    def round_no(p: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+    candidates = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")), key=round_no, reverse=True
+    )
+    for path in candidates:
         try:
             rec = json.load(open(path))
         except (OSError, json.JSONDecodeError):
@@ -762,31 +769,47 @@ def main() -> None:
         return
     timings, construct, n_events = run_suite(CPUS, SF_DIR)
     total = round(sum(timings.values()), 3)
-    curation = (
-        corpus_curation_profile(CPUS, SF_DIR)
-        if "--no-curation" not in sys.argv
-        else None
-    )
+    # Everything after the suite is a best-effort add-on: a failure in
+    # any one block must NOT discard the ~25 min of suite timings —
+    # degrade that key to an error string and still print the JSON.
+    curation = None
+    if "--no-curation" not in sys.argv:
+        try:
+            curation = corpus_curation_profile(CPUS, SF_DIR)
+        except Exception as e:  # noqa: BLE001
+            curation = {"error": f"{type(e).__name__}: {e}"}
     # stream/ingest continuity (VERDICT r04 #6): the end-to-end paths
     # get machine-comparable keys in the per-round JSON, not just
     # BENCH/BASELINE.md prose. Sized to add ~1 min to the suite.
     extras: dict = {}
     if "--no-extras" not in sys.argv:
-        stream = stream_e2e_run(
-            CPUS,
-            int(os.environ.get("BENCH_STREAM_EVENTS", "1000000")),
-            n_batches=2,
-            sink_mode="cow",
-        )
-        extras["stream_events_per_sec"] = stream["events_per_sec"]
-        extras["stream_e2e"] = stream
-        ingest = ingest_run(
-            CPUS, int(os.environ.get("BENCH_INGEST_DOCS", "50000")), 4
-        )
-        extras["ingest_docs_per_sec"] = ingest["docs_per_sec"]
-        extras["ingest_e2e"] = ingest
-        extras["bpe_train_1k"] = bpe_train_profile(CPUS, SF_DIR)
-    gate = regression_gate(timings, _sf(SF_DIR))
+        try:
+            stream = stream_e2e_run(
+                CPUS,
+                int(os.environ.get("BENCH_STREAM_EVENTS", "1000000")),
+                n_batches=2,
+                sink_mode="cow",
+            )
+            extras["stream_events_per_sec"] = stream["events_per_sec"]
+            extras["stream_e2e"] = stream
+        except Exception as e:  # noqa: BLE001
+            extras["stream_e2e"] = {"error": f"{type(e).__name__}: {e}"}
+        try:
+            ingest = ingest_run(
+                CPUS, int(os.environ.get("BENCH_INGEST_DOCS", "50000")), 4
+            )
+            extras["ingest_docs_per_sec"] = ingest["docs_per_sec"]
+            extras["ingest_e2e"] = ingest
+        except Exception as e:  # noqa: BLE001
+            extras["ingest_e2e"] = {"error": f"{type(e).__name__}: {e}"}
+        try:
+            extras["bpe_train_1k"] = bpe_train_profile(CPUS, SF_DIR)
+        except Exception as e:  # noqa: BLE001
+            extras["bpe_train_1k"] = {"error": f"{type(e).__name__}: {e}"}
+    try:
+        gate = regression_gate(timings, _sf(SF_DIR))
+    except Exception as e:  # noqa: BLE001
+        gate = {"error": f"{type(e).__name__}: {e}"}
     out = {
         "metric": "headline query suite wall time",
         "value": total,
@@ -805,7 +828,7 @@ def main() -> None:
     if (
         "--strict-regression" in sys.argv
         and gate is not None
-        and gate["flagged"]
+        and gate.get("flagged")
     ):
         sys.exit(1)
 

@@ -626,7 +626,12 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         lev.alias("lev"),
         t.alias("t_len"),
-        F.when(t == 0, r == 0.0).otherwise(band).alias("ratio_band_ok"),
+        # coalesce: NULL text makes the band indeterminate (sa/sb NULL
+        # -> t/lev/ratio NULL); the assertion is then vacuous, and the
+        # oracle's constant TRUE must be matched, not a NULL.
+        F.coalesce(F.when(t == 0, r == 0.0).otherwise(band), F.lit(True)).alias(
+            "ratio_band_ok"
+        ),
     )
 
 

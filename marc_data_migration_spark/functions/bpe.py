@@ -183,13 +183,25 @@ def bpe_fit(
     (it does for any natural-language corpus — the table holds
     distinct normalized tokens, not occurrences), the schedule is
     trained driver-local in one collect + ``_fit_local``; otherwise
-    each round is one Spark job over the persisted word table."""
+    each round is one Spark job over the persisted word table.
+
+    A literal ``|`` inside a token (normalize_text keeps it) makes the
+    char-tuple fast path unsound: the cluster-side merge is a string
+    replace over the double-bar encoding, and a bar INSIDE a symbol
+    lets ``|a||b|`` match across what the tuple view considers a
+    symbol boundary. Bar-bearing vocabularies therefore take the
+    distributed string-domain rounds, which are oracle-parity by
+    construction; on bar-free tokens (every natural corpus after
+    normalization) tuple-merge == string-replace exactly (pinned by
+    test_bpe_local_matches_distributed_schedule + the property test)."""
     wc = word_frequencies(df, text_col).persist()
     try:
         n_words = wc.count()  # materialize once
         if n_words <= driver_vocab_cap:
             rows = wc.collect()  # bounded: distinct words, not corpus
-            return _fit_local([(r["w"], int(r["n"])) for r in rows], n_merges)
+            pairs = [(r["w"], int(r["n"])) for r in rows]
+            if not any("|" in w for w, _ in pairs):
+                return _fit_local(pairs, n_merges)
         merges: list[tuple[str, str]] = []
         out: list[tuple[str, str, int]] = []
         for _ in range(n_merges):

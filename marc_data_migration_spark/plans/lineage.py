@@ -55,14 +55,16 @@ def batch_lineage(
     # quarantine count and guarantees a ledger entry even for a batch
     # whose every row was quarantined (routed empty -> no per-partition
     # rows -> without this the replay guard would re-append bad rows).
-    # spark.range(1) + lits, NOT createDataFrame([row]): createDataFrame
-    # over Python rows parallelizes into defaultParallelism pickled
+    # range + lits, NOT createDataFrame([row]): createDataFrame over
+    # Python rows parallelizes into defaultParallelism pickled
     # partitions, and the commit's single-file write then paid one
     # Python-runner evaluation per partition — ~4.6 s per batch for
     # this one literal row (decomposed A/B in BENCH/BASELINE.md r05).
-    # range(1) is a JVM-side 1-partition relation; the row costs ~0.
+    # numPartitions=1 is explicit: a bare range(1) still has
+    # defaultParallelism (empty) partitions, which would schedule ~32
+    # no-op tasks into the commit write.
     spark = routed.sparkSession
-    summary = spark.range(1).select(
+    summary = spark.range(0, 1, 1, 1).select(
         F.lit(int(batch_id)).cast("long").alias("batch_id"),
         F.lit(-1).cast("int").alias("partition_id"),
         F.lit(None).cast("long").alias("lsn_min"),

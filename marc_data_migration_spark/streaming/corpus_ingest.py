@@ -101,14 +101,15 @@ class CorpusIngest:
         )
         kept.unpersist()
         gated.unpersist()
-        # range(1) + lits, NOT createDataFrame([row]): the latter
+        # range + lits, NOT createDataFrame([row]): the latter
         # parallelizes one Python row into defaultParallelism pickled
         # partitions, and the single-file commit then paid one
         # sequential Python-runner evaluation per partition — measured
         # ~4.5 s per 1-row metrics commit (bench.ingest_run profile),
-        # ~35% of the whole ingest batch. range(1) is a 1-partition
-        # JVM relation; the commit is the ~0.5 s write alone.
-        metrics = self.spark.range(1).select(
+        # ~35% of the whole ingest batch. numPartitions=1 is explicit:
+        # a bare range(1) still has defaultParallelism (empty)
+        # partitions — ~32 no-op tasks per metrics commit.
+        metrics = self.spark.range(0, 1, 1, 1).select(
             F.lit(int(batch_id)).cast("long").alias("batch_id"),
             F.lit(int(n_in)).cast("long").alias("n_in"),
             F.lit(int(n_in - n_good)).cast("long").alias("n_low_quality"),

@@ -1059,3 +1059,22 @@ def test_chunk_documents_boundaries(spark):
 
     with _pytest.raises(ValueError, match="stride"):
         chunk_documents(docs, window=4, stride=5)
+
+
+def test_bpe_bar_token_falls_back_to_distributed(spark):
+    """A literal '|' inside a token survives normalize_text (the
+    punctuation class has no bar) and makes the char-tuple fast path
+    unsound — a bar inside a symbol lets the cluster-side double-bar
+    replace fire across what the tuple view considers a symbol
+    boundary. bpe_fit must route such vocabularies to the distributed
+    string-domain rounds: the default and the forced-distributed
+    schedule must agree exactly."""
+    from marc_data_migration_spark.functions.bpe import bpe_fit
+
+    texts = ["a|b a|b a|b ab ab", "aa|bb a|b aa zz zz"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    assert bpe_fit(docs, n_merges=4) == bpe_fit(
+        docs, n_merges=4, driver_vocab_cap=0
+    )

@@ -52,6 +52,10 @@ def main() -> None:
     _timed(sp.ParquetMergeSink, "_ledger")
     _timed(sp.ParquetMergeSink, "apply_merge", "apply_merge_total")
     _timed(merge_mod, "apply_changes")
+    # sink_parquet imported apply_changes by name at module load, so
+    # patching merge_mod alone never intercepts the sink's calls —
+    # rebind the sink module's global to the wrapper too.
+    sp.apply_changes = merge_mod.apply_changes
 
     # staging write: wrap the sink's swap helper if present, otherwise
     # attribute the remainder (apply_merge_total - tracked parts).
