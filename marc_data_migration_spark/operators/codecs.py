@@ -177,3 +177,97 @@ def image_resize(payload: bytes, kind: str, target_bytes: int) -> bytes:
     w, h, grid = decode_image(payload)
     out = resample_nn(grid, side, side)
     return encode_bmp(out) if payload[:2] == b"BM" else encode_ppm(out)
+
+
+# ---------------------------------------------------------------------
+# WAV (RIFF PCM) — the audio-kind analogue of the BMP/PPM parsers
+# ---------------------------------------------------------------------
+
+_FMT_PCM = struct.Struct("<HHIIHH")  # format, channels, rate, byterate, align, bits
+
+
+def encode_wav(
+    samples: list[tuple[int, ...]], sample_rate: int = 8000
+) -> bytes:
+    """Encode 16-bit PCM frames (``samples[i]`` = one frame, a tuple of
+    per-channel ints in [-32768, 32767]) as a canonical RIFF WAV."""
+    if not samples or len({len(f) for f in samples}) != 1:
+        raise ValueError("samples must be non-empty uniform-channel frames")
+    n_ch = len(samples[0])
+    body = b"".join(
+        struct.pack(f"<{n_ch}h", *frame) for frame in samples
+    )
+    fmt = _FMT_PCM.pack(1, n_ch, sample_rate, sample_rate * n_ch * 2, n_ch * 2, 16)
+    data = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    return b"RIFF" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[tuple[int, ...]]]:
+    """Decode 16-bit PCM RIFF WAV → (sample_rate, n_channels, frames).
+    Walks the chunk list (extra chunks like LIST/INFO are skipped), so
+    non-canonical writers parse too. Raises ValueError on anything that
+    is not uncompressed 16-bit PCM."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, end = 12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    fmt = None
+    data = None
+    while i + 8 <= end:
+        cid = payload[i : i + 4]
+        size = struct.unpack_from("<I", payload, i + 4)[0]
+        body = payload[i + 8 : i + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if size < _FMT_PCM.size:
+                raise ValueError("truncated fmt chunk")
+            fmt = _FMT_PCM.unpack_from(body, 0)
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, n_ch, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16 or n_ch < 1:
+        raise ValueError(f"only 16-bit PCM supported (fmt={audio_format}, bits={bits})")
+    frame_bytes = n_ch * 2
+    n_frames = len(data) // frame_bytes
+    frames = [
+        struct.unpack_from(f"<{n_ch}h", data, j * frame_bytes)
+        for j in range(n_frames)
+    ]
+    return rate, n_ch, frames
+
+
+def audio_features(payload: bytes, kind: str) -> list[float]:
+    """Codec hook for ``decode_media`` on audio rows: real WAV decode →
+    [duration_sec, sample_rate, n_channels, rms] with rms on the
+    [-1, 1] int16 scale — the shape a loudness/quality gate consumes."""
+    if kind != "audio":
+        raise ValueError(f"audio_features got kind={kind!r}")
+    rate, n_ch, frames = decode_wav(payload)
+    n = len(frames) * n_ch
+    if n == 0:
+        return [0.0, float(rate), float(n_ch), 0.0]
+    acc = 0.0
+    for frame in frames:
+        for s in frame:
+            x = s / 32768.0
+            acc += x * x
+    return [len(frames) / rate, float(rate), float(n_ch), (acc / n) ** 0.5]
+
+
+def media_features(payload: bytes, kind: str) -> list[float]:
+    """Kind-routing codec for mixed media tables: image → BMP/PPM
+    parse, audio → WAV parse. Video stays hook-only (no pure-python
+    container format exists to parse honestly) — route or filter it
+    upstream, exactly like undecodable payloads."""
+    if kind == "image":
+        return image_features(payload, kind)
+    if kind == "audio":
+        return audio_features(payload, kind)
+    raise ValueError(f"no pure-python codec for kind={kind!r}")

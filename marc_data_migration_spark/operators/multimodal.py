@@ -3,11 +3,13 @@ columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 pipelines.
 
 The DEFAULT decode/resize hooks are REAL pure-python codecs
-(operators/codecs.py: uncompressed 24-bit BMP + binary PPM) — decode
-parses headers/stride/BGR/bottom-up storage and extracts pixel
-statistics; resize is decode → nearest-neighbor resample → re-encode.
-They cover image-kind rows; audio/video rows (no pure-python codec
-exists for compressed formats) take an injected hook —
+(operators/codecs.py: uncompressed 24-bit BMP + binary PPM for image
+rows, 16-bit PCM RIFF WAV for audio rows — ``media_features`` routes
+by kind) — image decode parses headers/stride/BGR/bottom-up storage
+and extracts pixel statistics; audio decode walks the RIFF chunk list
+and extracts duration/rate/channels/RMS; resize is decode →
+nearest-neighbor resample → re-encode. Video rows (no pure-python
+container format to parse honestly) take an injected hook —
 ``fake_decode``/``fake_resize`` are the deterministic byte-level
 stand-ins used where a mixed-kind table must flow end-to-end in this
 container, and a real cluster injects PIL/librosa/ffmpeg through the

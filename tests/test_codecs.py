@@ -137,3 +137,81 @@ def test_resize_media_default_real_resizer_end_to_end(spark):
         w, h, _ = decode_image(bytes(r.payload))
         assert (w, h) == (3, 3)
         assert r.meta["resized_bytes"] == "27"
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    from marc_data_migration_spark.operators.codecs import decode_wav, encode_wav
+
+    mono = [(0,), (1000,), (-1000,), (32767,), (-32768,)]
+    assert decode_wav(encode_wav(mono, 16000)) == (16000, 1, mono)
+    stereo = [(100, -100), (2000, 0)]
+    assert decode_wav(encode_wav(stereo, 8000)) == (8000, 2, stereo)
+
+
+def test_wav_skips_extra_chunks_and_word_alignment():
+    """A LIST/INFO chunk with an ODD size before data must be skipped
+    with word-aligned advance, like real writers emit."""
+    import struct
+
+    from marc_data_migration_spark.operators.codecs import decode_wav, encode_wav
+
+    canonical = encode_wav([(7,), (-7,)], 8000)
+    # splice an odd-sized junk chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    spliced = canonical[:fmt_end] + junk + canonical[fmt_end:]
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert decode_wav(spliced) == (8000, 1, [(7,), (-7,)])
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        b"",
+        b"RIFF\x00\x00\x00\x00WAVX",
+        b"not audio at all",
+    ],
+)
+def test_wav_rejects_garbage(bad):
+    from marc_data_migration_spark.operators.codecs import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(bad)
+
+
+def test_audio_features_exact():
+    from marc_data_migration_spark.operators.codecs import audio_features, encode_wav
+
+    # constant amplitude -> rms == amplitude/32768 exactly
+    wav = encode_wav([(16384,)] * 8000, 8000)
+    dur, rate, n_ch, rms = audio_features(wav, "audio")
+    assert (dur, rate, n_ch) == (1.0, 8000.0, 1.0)
+    assert abs(rms - 0.5) < 1e-9
+    with pytest.raises(ValueError):
+        audio_features(wav, "image")
+
+
+def test_media_features_routes_mixed_kinds(spark):
+    """decode_media with the kind-routing codec over a mixed
+    image+audio table: one mapInPandas pass, real parses both ways."""
+    from marc_data_migration_spark.operators.codecs import (
+        encode_bmp,
+        encode_wav,
+        media_features,
+    )
+    from marc_data_migration_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+    )
+
+    img = encode_bmp([[(10, 20, 30), (40, 50, 60)]])
+    wav = encode_wav([(16384,), (-16384,)], 8000)
+    rows = [
+        (1, "c1", "image", bytearray(img), {}),
+        (2, "c2", "audio", bytearray(wav), {}),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {r.media_id: r.feat for r in decode_media(df, codec=media_features).collect()}
+    assert got[1] == [2.0, 1.0, 25.0, 35.0, 45.0]
+    assert got[2][1:3] == [8000.0, 1.0]
+    assert abs(got[2][3] - 0.5) < 1e-9
