@@ -150,3 +150,47 @@ def test_lineage_plan_is_jvm_side(spark):
     # and the row itself is right: one -1 summary row carrying n_bad
     summary = [r for r in lin.collect() if r["partition_id"] == -1]
     assert len(summary) == 1 and summary[0]["rows_quarantined"] == 3
+
+
+def test_fuzzy_ratio_pairs_null_text_matches_oracle(spark, tmp_path):
+    """NULL text must keep ratio_band_ok == the oracle's constant TRUE
+    (the band is vacuous — sa/sb NULL makes ratio/lev/t_len NULL, and
+    before the coalesce fix Spark emitted NULL where DuckDB emits
+    TRUE). Replays the driver compare on a synthetic table whose rows
+    cover null-vs-text, text-vs-null, and null-vs-null pairs."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": ["alpha beta", None, "gamma delta", None, None],
+        }
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = (
+        entry.queries()["fuzzy_ratio_pairs"](spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = (
+        con.execute(entry.oracle_sql()["fuzzy_ratio_pairs"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["ratio_band_ok"]) == [True] * len(got)
+    assert list(want["ratio_band_ok"]) == [True] * len(want)
+    got_lev = [None if pd.isna(x) else int(x) for x in got["lev"]]
+    want_lev = [None if pd.isna(x) else int(x) for x in want["lev"]]
+    assert got_lev == want_lev
