@@ -32,16 +32,11 @@ def encode_bmp(pixels: list[list[tuple[int, int, int]]]) -> bytes:
     if h == 0 or len({len(r) for r in pixels}) != 1:
         raise ValueError("pixels must be a non-empty rectangular grid")
     w = len(pixels[0])
-    pad = (-3 * w) % 4  # each row padded to a 4-byte boundary
-    rows = bytearray()
-    for y in range(h - 1, -1, -1):  # bottom-up storage order
-        for r, g, b in pixels[y]:
-            rows += bytes((b, g, r))  # BGR on disk
-        rows += b"\x00" * pad
+    rows = _bgr_rows(pixels)  # bottom-up padded BGR — the shared DIB layout
     offset = _BMP_HEADER.size + _BMP_INFO.size
     info = _BMP_INFO.pack(_BMP_INFO.size, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
     head = _BMP_HEADER.pack(b"BM", offset + len(rows), 0, 0, offset)
-    return head + info + bytes(rows)
+    return head + info + rows
 
 
 def decode_bmp(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
@@ -263,11 +258,138 @@ def audio_features(payload: bytes, kind: str) -> list[float]:
 
 def media_features(payload: bytes, kind: str) -> list[float]:
     """Kind-routing codec for mixed media tables: image → BMP/PPM
-    parse, audio → WAV parse. Video stays hook-only (no pure-python
-    container format exists to parse honestly) — route or filter it
-    upstream, exactly like undecodable payloads."""
+    parse, audio → WAV parse, video → uncompressed-AVI parse. Unknown
+    kinds and undecodable payloads raise — route or quarantine
+    upstream."""
     if kind == "image":
         return image_features(payload, kind)
     if kind == "audio":
         return audio_features(payload, kind)
+    if kind == "video":
+        return video_features(payload, kind)
     raise ValueError(f"no pure-python codec for kind={kind!r}")
+
+
+# ---------------------------------------------------------------------
+# AVI (RIFF, uncompressed DIB frames) — the video-kind analogue
+# ---------------------------------------------------------------------
+
+_AVIH = struct.Struct("<14I")  # MainAVIHeader: 14 little-endian DWORDs
+
+
+def _bgr_rows(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Bottom-up padded BGR rows — the DIB pixel-data layout BMP and
+    uncompressed-AVI frames share."""
+    w = len(pixels[0])
+    pad = (-3 * w) % 4
+    rows = bytearray()
+    for y in range(len(pixels) - 1, -1, -1):
+        for r, g, b in pixels[y]:
+            rows += bytes((b, g, r))
+        rows += b"\x00" * pad
+    return bytes(rows)
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def encode_avi(
+    frames: list[list[list[tuple[int, int, int]]]], fps: int = 10
+) -> bytes:
+    """Encode RGB pixel-grid frames (all the same w×h, rows top-down)
+    as a minimal uncompressed AVI: RIFF 'AVI ' → LIST hdrl (avih) +
+    LIST movi ('00db' DIB chunks, bottom-up BGR, 4-byte row stride)."""
+    if not frames or len({(len(f), len(f[0])) for f in frames}) != 1:
+        raise ValueError("frames must be non-empty and uniformly sized")
+    h, w = len(frames[0]), len(frames[0][0])
+    avih = _AVIH.pack(
+        1_000_000 // fps, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    hdrl = _chunk(b"LIST", b"hdrl" + _chunk(b"avih", avih))
+    movi = _chunk(
+        b"LIST", b"movi" + b"".join(_chunk(b"00db", _bgr_rows(f)) for f in frames)
+    )
+    return _chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _riff_children(body: bytes):
+    """Yield (fourcc, chunk_body) walking a RIFF/LIST body with
+    word-aligned advance."""
+    i = 0
+    while i + 8 <= len(body):
+        cid = body[i : i + 4]
+        size = struct.unpack_from("<I", body, i + 4)[0]
+        sub = body[i + 8 : i + 8 + size]
+        if len(sub) < size:
+            raise ValueError("truncated RIFF chunk")
+        yield cid, sub
+        i += 8 + size + (size & 1)
+
+
+def decode_avi(
+    payload: bytes,
+) -> tuple[float, int, int, list[list[list[tuple[int, int, int]]]]]:
+    """Decode a minimal uncompressed AVI → (fps, width, height, frames
+    with rows top-down). Walks the RIFF tree (unknown chunks/LISTs are
+    skipped); only '00db' uncompressed-DIB frames are supported."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    size = struct.unpack_from("<I", payload, 4)[0]
+    body = payload[8 : 8 + size]
+    avih = None
+    frame_bodies: list[bytes] = []
+    for cid, sub in _riff_children(body[4:]):
+        if cid != b"LIST" or len(sub) < 4:
+            continue
+        kind, inner = sub[:4], sub[4:]
+        if kind == b"hdrl":
+            for c2, s2 in _riff_children(inner):
+                if c2 == b"avih":
+                    if len(s2) < _AVIH.size:
+                        raise ValueError("truncated avih header")
+                    avih = _AVIH.unpack_from(s2, 0)
+        elif kind == b"movi":
+            for c2, s2 in _riff_children(inner):
+                if c2 == b"00dc":
+                    raise ValueError("compressed AVI frames not supported")
+                if c2 == b"00db":
+                    frame_bodies.append(s2)
+    if avih is None:
+        raise ValueError("AVI missing avih header")
+    usec, w, h = avih[0], avih[8], avih[9]
+    if w <= 0 or h <= 0 or usec <= 0:
+        raise ValueError("bad AVI dimensions or frame rate")
+    stride = 3 * w + ((-3 * w) % 4)
+    frames = []
+    for fb in frame_bodies:
+        if len(fb) < stride * h:
+            raise ValueError("truncated AVI frame")
+        grid = []
+        for y in range(h):
+            base = (h - 1 - y) * stride  # bottom-up storage
+            grid.append(
+                [
+                    (fb[base + 3 * x + 2], fb[base + 3 * x + 1], fb[base + 3 * x])
+                    for x in range(w)
+                ]
+            )
+        frames.append(grid)
+    return 1_000_000 / usec, w, h, frames
+
+
+def video_features(payload: bytes, kind: str) -> list[float]:
+    """Codec hook for ``decode_media`` on video rows: real AVI decode →
+    [n_frames, fps, width, height, mean_luma] (Rec.601 luma over all
+    frames, 0–255 scale)."""
+    if kind != "video":
+        raise ValueError(f"video_features got kind={kind!r}")
+    fps, w, h, frames = decode_avi(payload)
+    n_px = len(frames) * w * h
+    luma = 0.0
+    for f in frames:
+        for row in f:
+            for r, g, b in row:
+                luma += 0.299 * r + 0.587 * g + 0.114 * b
+    return [float(len(frames)), round(fps, 6), float(w), float(h),
+            luma / n_px if n_px else 0.0]

@@ -4,14 +4,16 @@ pipelines.
 
 The DEFAULT decode/resize hooks are REAL pure-python codecs
 (operators/codecs.py: uncompressed 24-bit BMP + binary PPM for image
-rows, 16-bit PCM RIFF WAV for audio rows — ``media_features`` routes
-by kind) — image decode parses headers/stride/BGR/bottom-up storage
-and extracts pixel statistics; audio decode walks the RIFF chunk list
-and extracts duration/rate/channels/RMS; resize is decode →
-nearest-neighbor resample → re-encode. Video rows (no pure-python
-container format to parse honestly) take an injected hook —
+rows, 16-bit PCM RIFF WAV for audio rows, uncompressed-DIB AVI for
+video rows — ``media_features`` routes by kind) — image decode parses
+headers/stride/BGR/bottom-up storage and extracts pixel statistics;
+audio decode walks the RIFF chunk list and extracts
+duration/rate/channels/RMS; video decode walks the RIFF tree to the
+movi '00db' frames and extracts frame-count/fps/dims/mean-luma;
+resize is decode → nearest-neighbor resample → re-encode. Compressed
+formats (JPEG/MP3/H.264 …) still take an injected hook —
 ``fake_decode``/``fake_resize`` are the deterministic byte-level
-stand-ins used where a mixed-kind table must flow end-to-end in this
+stand-ins used where such a table must flow end-to-end in this
 container, and a real cluster injects PIL/librosa/ffmpeg through the
 same signatures. The Spark plumbing (schemas, Arrow batch iteration,
 partitioning) is identical for every hook.

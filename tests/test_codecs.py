@@ -215,3 +215,64 @@ def test_media_features_routes_mixed_kinds(spark):
     assert got[1] == [2.0, 1.0, 25.0, 35.0, 45.0]
     assert got[2][1:3] == [8000.0, 1.0]
     assert abs(got[2][3] - 0.5) < 1e-9
+
+
+def test_avi_roundtrip_with_stride_padding():
+    from marc_data_migration_spark.operators.codecs import decode_avi, encode_avi
+
+    # 3-wide rows -> 9 bytes, padded to 12: stride logic exercised
+    f1 = [[(1, 2, 3), (4, 5, 6), (7, 8, 9)], [(9, 8, 7), (6, 5, 4), (3, 2, 1)]]
+    f2 = [[(0, 0, 0), (255, 255, 255), (128, 0, 128)], [(1, 1, 1), (2, 2, 2), (3, 3, 3)]]
+    fps, w, h, frames = decode_avi(encode_avi([f1, f2], fps=25))
+    assert (fps, w, h) == (25.0, 3, 2)
+    assert frames == [f1, f2]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [b"", b"RIFF\x04\x00\x00\x00WAVE", b"RIFF\x04\x00\x00\x00AVI ", b"junkjunkjunk"],
+)
+def test_avi_rejects_garbage_and_headerless(bad):
+    from marc_data_migration_spark.operators.codecs import decode_avi
+
+    with pytest.raises(ValueError):
+        decode_avi(bad)
+
+
+def test_video_features_exact():
+    from marc_data_migration_spark.operators.codecs import encode_avi, video_features
+
+    # all-white single pixel, 2 frames at 10 fps: luma == 255 exactly
+    avi = encode_avi([[[(255, 255, 255)]], [[(255, 255, 255)]]], fps=10)
+    n, fps, w, h, luma = video_features(avi, "video")
+    assert (n, fps, w, h) == (2.0, 10.0, 1.0, 1.0)
+    assert abs(luma - 255.0) < 1e-6
+    with pytest.raises(ValueError):
+        video_features(avi, "audio")
+
+
+def test_media_features_routes_all_three_kinds(spark):
+    from marc_data_migration_spark.operators.codecs import (
+        encode_avi,
+        encode_bmp,
+        encode_wav,
+        media_features,
+    )
+    from marc_data_migration_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+    )
+
+    img = encode_bmp([[(10, 20, 30), (40, 50, 60)]])
+    wav = encode_wav([(16384,), (-16384,)], 8000)
+    avi = encode_avi([[[(255, 255, 255)]]], fps=5)
+    rows = [
+        (1, "c1", "image", bytearray(img), {}),
+        (2, "c2", "audio", bytearray(wav), {}),
+        (3, "c3", "video", bytearray(avi), {}),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {r.media_id: r.feat for r in decode_media(df, codec=media_features).collect()}
+    assert got[1] == [2.0, 1.0, 25.0, 35.0, 45.0]
+    assert got[2][1:3] == [8000.0, 1.0]
+    assert got[3][:4] == [1.0, 5.0, 1.0, 1.0]
