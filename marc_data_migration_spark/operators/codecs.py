@@ -393,3 +393,42 @@ def video_features(payload: bytes, kind: str) -> list[float]:
                 luma += 0.299 * r + 0.587 * g + 0.114 * b
     return [float(len(frames)), round(fps, 6), float(w), float(h),
             luma / n_px if n_px else 0.0]
+
+
+def audio_resample(payload: bytes, kind: str, target_bytes: int) -> bytes:
+    """Real resize hook for ``resize_media`` on audio rows: decode →
+    nearest-neighbor frame resample so the 16-bit PCM body fits
+    ``target_bytes`` (channel count preserved; the sample rate scales
+    by the same factor so duration is unchanged) → re-encode."""
+    if kind != "audio":
+        raise ValueError(f"audio_resample got kind={kind!r}")
+    rate, n_ch, frames = decode_wav(payload)
+    out_n = max(min(target_bytes // (2 * n_ch), len(frames)), 1)
+    out = [frames[(i * len(frames)) // out_n] for i in range(out_n)]
+    out_rate = max(round(rate * out_n / len(frames)), 1) if frames else rate
+    return encode_wav(out, out_rate)
+
+
+def video_resize(payload: bytes, kind: str, target_bytes: int) -> bytes:
+    """Real resize hook for ``resize_media`` on video rows: decode →
+    keep frame COUNT and fps, nearest-neighbor resample each frame to
+    the largest square whose total pixel data fits ``target_bytes`` →
+    re-encode."""
+    if kind != "video":
+        raise ValueError(f"video_resize got kind={kind!r}")
+    fps, w, h, frames = decode_avi(payload)
+    side = max(int((target_bytes / (3 * len(frames))) ** 0.5), 1)
+    return encode_avi([resample_nn(f, side, side) for f in frames],
+                      fps=max(round(fps), 1))
+
+
+def media_resize_router(payload: bytes, kind: str, target_bytes: int) -> bytes:
+    """Kind-routing resizer for mixed tables — the resize twin of
+    ``media_features``."""
+    if kind == "image":
+        return image_resize(payload, kind, target_bytes)
+    if kind == "audio":
+        return audio_resample(payload, kind, target_bytes)
+    if kind == "video":
+        return video_resize(payload, kind, target_bytes)
+    raise ValueError(f"no pure-python resizer for kind={kind!r}")

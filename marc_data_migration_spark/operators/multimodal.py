@@ -203,8 +203,11 @@ def resize_media(
     updated with the new size. The default resizer is the real image
     path (decode → nearest-neighbor resample to the largest square
     fitting ``target_bytes`` → re-encode); like decode_media it raises
-    in-task on non-image rows, and ``fake_resize`` (byte truncate/pad)
-    stands in for the codecs this container lacks."""
+    in-task on non-image rows. For mixed tables pass
+    ``codecs.media_resize_router`` (image resample / audio PCM
+    downsample / video per-frame resample); ``fake_resize`` (byte
+    truncate/pad) stands in only for compressed formats this container
+    cannot decode."""
     if resizer is None:
         from .codecs import image_resize as resizer
 

@@ -276,3 +276,65 @@ def test_media_features_routes_all_three_kinds(spark):
     assert got[1] == [2.0, 1.0, 25.0, 35.0, 45.0]
     assert got[2][1:3] == [8000.0, 1.0]
     assert got[3][:4] == [1.0, 5.0, 1.0, 1.0]
+
+
+def test_audio_resample_real_downsample():
+    from marc_data_migration_spark.operators.codecs import (
+        audio_resample,
+        decode_wav,
+        encode_wav,
+    )
+
+    wav = encode_wav([(i * 100, -i * 100) for i in range(100)], 8000)
+    small = audio_resample(wav, "audio", 80)
+    rate, n_ch, frames = decode_wav(small)
+    assert (n_ch, len(frames)) == (2, 20)  # 80 bytes / (2ch * 2B)
+    assert rate == 1600  # rate scales with the frame cut: duration kept
+    assert frames[0] == (0, 0) and frames[-1] == (9500, -9500)
+    with pytest.raises(ValueError):
+        audio_resample(wav, "image", 80)
+
+
+def test_video_resize_keeps_frames_shrinks_pixels():
+    from marc_data_migration_spark.operators.codecs import (
+        decode_avi,
+        encode_avi,
+        video_resize,
+    )
+
+    frames = [[[(255, 0, 0)] * 4 for _ in range(4)] for _ in range(3)]
+    avi = encode_avi(frames, fps=10)
+    fps, w, h, out = decode_avi(video_resize(avi, "video", 36))
+    assert (fps, w, h, len(out)) == (10.0, 2, 2, 3)  # 36B/3f -> 2x2
+    assert out[0][0][0] == (255, 0, 0)
+
+
+def test_resize_media_router_all_kinds(spark):
+    from marc_data_migration_spark.operators.codecs import (
+        decode_avi,
+        decode_image,
+        decode_wav,
+        encode_avi,
+        encode_bmp,
+        encode_wav,
+        media_resize_router,
+    )
+    from marc_data_migration_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_media,
+    )
+
+    rows = [
+        (1, "c1", "image", bytearray(encode_bmp([[(9, 9, 9)] * 4] * 4)), {}),
+        (2, "c2", "audio", bytearray(encode_wav([(5,)] * 50, 8000)), {}),
+        (3, "c3", "video", bytearray(encode_avi([[[(1, 2, 3)] * 4] * 4] * 2, fps=4)), {}),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {
+        r.media_id: bytes(r.payload)
+        for r in resize_media(df, target_bytes=24, resizer=media_resize_router).collect()
+    }
+    assert decode_image(got[1])[:2] == (2, 2)
+    assert len(decode_wav(got[2])[2]) == 12  # 24B mono
+    fps, w, h, fr = decode_avi(got[3])
+    assert (w, h, len(fr)) == (2, 2, 2)

@@ -200,3 +200,62 @@ def test_bpe_local_schedule_matches_naive(word_counts, n_merges):
         {tuple(w): n for w, n in word_counts.items()}, n_merges
     )
     assert got == want
+
+
+_px = st.tuples(
+    st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+)
+
+
+def _grid(max_w: int = 5, max_h: int = 4):
+    return st.integers(1, max_w).flatmap(
+        lambda w: st.lists(
+            st.lists(_px, min_size=w, max_size=w), min_size=1, max_size=max_h
+        )
+    )
+
+
+@given(_grid())
+@settings(max_examples=200, deadline=None)
+def test_bmp_roundtrip_property(grid):
+    """Arbitrary small grids — odd widths exercise every stride-padding
+    case the fixed-example tests can miss."""
+    from marc_data_migration_spark.operators.codecs import decode_bmp, encode_bmp
+
+    assert decode_bmp(encode_bmp(grid)) == (len(grid[0]), len(grid), grid)
+
+
+@given(_grid())
+@settings(max_examples=200, deadline=None)
+def test_ppm_roundtrip_property(grid):
+    from marc_data_migration_spark.operators.codecs import decode_ppm, encode_ppm
+
+    assert decode_ppm(encode_ppm(grid)) == (len(grid[0]), len(grid), grid)
+
+
+@given(
+    st.integers(1, 2).flatmap(
+        lambda ch: st.lists(
+            st.tuples(*([st.integers(-32768, 32767)] * ch)),
+            min_size=1,
+            max_size=64,
+        )
+    ),
+    st.integers(1, 48000),
+)
+@settings(max_examples=200, deadline=None)
+def test_wav_roundtrip_property(frames, rate):
+    from marc_data_migration_spark.operators.codecs import decode_wav, encode_wav
+
+    assert decode_wav(encode_wav(frames, rate)) == (rate, len(frames[0]), frames)
+
+
+@given(st.lists(_grid(3, 3), min_size=1, max_size=3), st.integers(1, 60))
+@settings(max_examples=100, deadline=None)
+def test_avi_roundtrip_property(frames, fps):
+    from marc_data_migration_spark.operators.codecs import decode_avi, encode_avi
+
+    sized = [f for f in frames if (len(f), len(f[0])) == (len(frames[0]), len(frames[0][0]))]
+    got_fps, w, h, got = decode_avi(encode_avi(sized, fps))
+    assert (w, h, got) == (len(sized[0][0]), len(sized[0]), sized)
+    assert abs(got_fps - 1_000_000 / (1_000_000 // fps)) < 1e-9
