@@ -400,3 +400,71 @@ def test_json_feed_permissive_corrupt_quarantine(spark, tmp_path):
     )
     assert spark.read.parquet(sink.bad_path).count() == 2
     assert _final_text(sink.read()) == got
+
+
+def test_crash_point_sweep_commit_swap(spark, tmp_path):
+    """Machine-enumerated crash windows: fail the Nth os.replace of the
+    staged-swap commit for EVERY N, reopen the sink (crash recovery),
+    replay the same batch, and require convergence to the uninterrupted
+    run's final state — the exactly-once invariant without hand-picked
+    windows (every replace precedes the ledger append, so a crashed
+    batch must always replay to the identical table)."""
+    import os
+
+    base_pd = feedgen.gen_transcripts(n_convs=12, seed=21)
+    ch_pd = feedgen.gen_changes("upsert", n_events=120, n_convs=12, seed=21)
+
+    def fresh(name):
+        sink = ParquetMergeSink(spark, str(tmp_path / name), n_buckets=4)
+        sink.init(spark.createDataFrame(base_pd))
+        return sink
+
+    clean = fresh("clean")
+    assert clean.apply_merge(spark.createDataFrame(ch_pd), batch_id=0) is not None
+    want = _final_text(clean.read())
+
+    real_replace = os.replace
+    counted = [0]
+
+    def counting(*a, **k):
+        counted[0] += 1
+        return real_replace(*a, **k)
+
+    probe = fresh("probe")  # init OUTSIDE the count: it renames too
+    os.replace = counting
+    try:
+        probe.apply_merge(spark.createDataFrame(ch_pd), batch_id=0)
+    finally:
+        os.replace = real_replace
+    n_replaces = counted[0]
+    assert n_replaces >= 2  # the sweep must cover a real window list
+
+    for fail_at in range(1, n_replaces + 1):
+        calls = [0]
+
+        def failing(*a, **k):
+            calls[0] += 1
+            if calls[0] == fail_at:
+                raise OSError(f"injected crash at replace #{fail_at}")
+            return real_replace(*a, **k)
+
+        sink = fresh(f"crash{fail_at}")
+        os.replace = failing
+        try:
+            try:
+                sink.apply_merge(spark.createDataFrame(ch_pd), batch_id=0)
+                crashed = False
+            except OSError:
+                crashed = True
+        finally:
+            os.replace = real_replace
+        assert crashed, f"replace #{fail_at} was never reached"
+        # process restart: recovery runs in __init__, then the stream
+        # replays the uncommitted batch
+        reopened = ParquetMergeSink(spark, sink.path, n_buckets=4)
+        assert not any(
+            n.startswith(("_staging_batch_", "_trash_batch_"))
+            for n in os.listdir(reopened.path)
+        )
+        assert reopened.apply_merge(spark.createDataFrame(ch_pd), batch_id=0) is not None
+        assert _final_text(reopened.read()) == want, f"diverged at replace #{fail_at}"
