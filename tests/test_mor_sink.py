@@ -313,3 +313,90 @@ def test_mor_schema_evolution_and_compaction(spark, tmp_path):
     assert sink.compact_data() >= 1
     assert sink._delta_batch_dirs() == []
     assert state(sink.read()) == want_state
+
+
+def test_mor_crash_point_sweep(spark, tmp_path):
+    """Machine-enumerated crash windows for the MoR paths: fail the Nth
+    os.replace of (a) the delta stage→ledger→publish sequence and (b)
+    the compact_data base swap, for every N; after reopen (recovery)
+    plus replay/re-compaction the view must equal the uninterrupted
+    run. Covers both recovery directions — an un-ledgered staged delta
+    rolls back and replays, a ledgered one rolls forward."""
+    base_pd = feedgen.gen_transcripts(n_convs=12, seed=33)
+    ch_pd = feedgen.gen_changes("upsert", n_events=120, n_convs=12, seed=33)
+
+    def fresh(name):
+        sink = MorParquetMergeSink(spark, str(tmp_path / name), n_buckets=4)
+        sink.init(spark.createDataFrame(base_pd))
+        return sink
+
+    clean = fresh("clean")
+    assert clean.apply_merge(spark.createDataFrame(ch_pd), batch_id=0) is not None
+    want = _final_text(clean.read())
+    real_replace = os.replace
+
+    def count_during(fn):
+        n = [0]
+
+        def counting(*a, **k):
+            n[0] += 1
+            return real_replace(*a, **k)
+
+        os.replace = counting
+        try:
+            fn()
+        finally:
+            os.replace = real_replace
+        return n[0]
+
+    probe = fresh("probe")
+    n_apply = count_during(
+        lambda: probe.apply_merge(spark.createDataFrame(ch_pd), batch_id=0)
+    )
+    n_compact = count_during(lambda: probe.compact_data())
+    assert n_apply >= 1 and n_compact >= 2
+
+    def failing_at(fail_at, calls):
+        def failing(*a, **k):
+            calls[0] += 1
+            if calls[0] == fail_at:
+                raise OSError(f"injected crash at replace #{fail_at}")
+            return real_replace(*a, **k)
+
+        return failing
+
+    for fail_at in range(1, n_apply + 1):
+        sink = fresh(f"crash_apply{fail_at}")
+        calls = [0]
+        os.replace = failing_at(fail_at, calls)
+        try:
+            try:
+                sink.apply_merge(spark.createDataFrame(ch_pd), batch_id=0)
+                crashed = False
+            except OSError:
+                crashed = True
+        finally:
+            os.replace = real_replace
+        assert crashed, f"apply replace #{fail_at} was never reached"
+        reopened = MorParquetMergeSink(spark, sink.path, n_buckets=4)
+        reopened.apply_merge(spark.createDataFrame(ch_pd), batch_id=0)  # None if rolled forward
+        assert _final_text(reopened.read()) == want, f"apply diverged at #{fail_at}"
+
+    for fail_at in range(1, n_compact + 1):
+        sink = fresh(f"crash_compact{fail_at}")
+        assert sink.apply_merge(spark.createDataFrame(ch_pd), batch_id=0) is not None
+        calls = [0]
+        os.replace = failing_at(fail_at, calls)
+        try:
+            try:
+                sink.compact_data()
+                crashed = False
+            except OSError:
+                crashed = True
+        finally:
+            os.replace = real_replace
+        assert crashed, f"compact replace #{fail_at} was never reached"
+        reopened = MorParquetMergeSink(spark, sink.path, n_buckets=4)
+        assert _final_text(reopened.read()) == want, f"compact view diverged at #{fail_at}"
+        reopened.compact_data()  # re-compaction after recovery also converges
+        assert _final_text(reopened.read()) == want, f"re-compaction diverged at #{fail_at}"
