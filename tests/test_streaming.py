@@ -468,3 +468,66 @@ def test_crash_point_sweep_commit_swap(spark, tmp_path):
         )
         assert reopened.apply_merge(spark.createDataFrame(ch_pd), batch_id=0) is not None
         assert _final_text(reopened.read()) == want, f"diverged at replace #{fail_at}"
+
+
+def test_crash_point_sweep_audit_compaction(spark, tmp_path):
+    """Every os.replace of compact_audit's two-step swaps fails once;
+    after reopen the ledger and audit tables must read identically and
+    the exactly-once guard must still refuse a replay."""
+    import os
+
+    base_pd, ch_pd, sink = _setup(spark, tmp_path, n_events=200, seed=29)
+    for i, chunk in enumerate(_chunks(ch_pd, 4)):
+        sink.apply_merge(spark.createDataFrame(chunk), batch_id=i)
+    want = _final_text(sink.read())
+    want_lineage = sink.lineage().orderBy("batch_id", "partition_id").toPandas()
+    real_replace = os.replace
+
+    # count the replace calls of one full compaction (fresh copy)
+    import shutil as _sh
+
+    def copy_sink(name):
+        dst = str(tmp_path / name)
+        _sh.copytree(sink.path, dst)
+        return ParquetMergeSink(spark, dst, n_buckets=8)
+
+    probe, counted = copy_sink("probe"), [0]
+
+    def counting(*a, **k):
+        counted[0] += 1
+        return real_replace(*a, **k)
+
+    os.replace = counting
+    try:
+        probe.compact_audit(target_files=1)
+    finally:
+        os.replace = real_replace
+    assert counted[0] >= 2
+
+    for fail_at in range(1, counted[0] + 1):
+        s = copy_sink(f"crash{fail_at}")
+        calls = [0]
+
+        def failing(*a, **k):
+            calls[0] += 1
+            if calls[0] == fail_at:
+                raise OSError(f"injected crash at replace #{fail_at}")
+            return real_replace(*a, **k)
+
+        os.replace = failing
+        try:
+            try:
+                s.compact_audit(target_files=1)
+                crashed = False
+            except OSError:
+                crashed = True
+        finally:
+            os.replace = real_replace
+        assert crashed, f"replace #{fail_at} was never reached"
+        reopened = ParquetMergeSink(spark, s.path, n_buckets=8)
+        assert _final_text(reopened.read()) == want
+        got = reopened.lineage().orderBy("batch_id", "partition_id").toPandas()
+        assert got.shape == want_lineage.shape
+        assert sorted(got["batch_id"]) == sorted(want_lineage["batch_id"])
+        # exactly-once guard intact: a replay of batch 0 is still a no-op
+        assert reopened.apply_merge(spark.createDataFrame(_chunks(ch_pd, 4)[0]), batch_id=0) is None
