@@ -32,3 +32,29 @@ def test_no_quadratic_joins(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans a nested-loop join — quadratic at scale"
         )
+
+
+# Queries whose 100-TB shape is "small side broadcast, corpus never
+# shuffles for the probe join" (PLANS.md): the benchmark side of the
+# decontamination family, the location dim, the BPE word-table lookup,
+# and the broadcast ANN query side. A SortMergeJoin appearing in any of
+# these means the corpus started shuffling for the probe — the exact
+# regression this guard exists to catch.
+BROADCAST_PROBES = [
+    "decontam_overlap",
+    "fuzzy_decontam_pairs",
+    "map_lookup_location",
+    "bpe_doc_token_counts",
+    "lsh_multitable_ann_topk",
+]
+
+
+@pytest.mark.parametrize("name", BROADCAST_PROBES)
+def test_probe_joins_stay_broadcast(spark, name):
+    plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, (
+        f"{name} lost its broadcast probe side"
+    )
+    assert "SortMergeJoin" not in plan, (
+        f"{name} shuffles the corpus for its probe join"
+    )
