@@ -208,27 +208,23 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[tuple[int, ...]]]:
     is not uncompressed 16-bit PCM."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    i, end = 12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
     fmt = None
     data = None
-    while i + 8 <= end:
-        cid = payload[i : i + 4]
-        size = struct.unpack_from("<I", payload, i + 4)[0]
-        body = payload[i + 8 : i + 8 + size]
-        if len(body) < size:
-            raise ValueError("truncated WAV chunk")
+    for cid, body in _riff_children(payload[12:end]):
         if cid == b"fmt ":
-            if size < _FMT_PCM.size:
+            if len(body) < _FMT_PCM.size:
                 raise ValueError("truncated fmt chunk")
             fmt = _FMT_PCM.unpack_from(body, 0)
         elif cid == b"data":
             data = body
-        i += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, n_ch, rate, _, _, bits = fmt
     if audio_format != 1 or bits != 16 or n_ch < 1:
         raise ValueError(f"only 16-bit PCM supported (fmt={audio_format}, bits={bits})")
+    if rate < 1:
+        raise ValueError("bad WAV sample rate")  # the decode_avi usec<=0 analogue
     frame_bytes = n_ch * 2
     n_frames = len(data) // frame_bytes
     frames = [
@@ -295,16 +291,27 @@ def _chunk(cid: bytes, body: bytes) -> bytes:
 
 
 def encode_avi(
-    frames: list[list[list[tuple[int, int, int]]]], fps: int = 10
+    frames: list[list[list[tuple[int, int, int]]]],
+    fps: int = 10,
+    usec_per_frame: int | None = None,
 ) -> bytes:
     """Encode RGB pixel-grid frames (all the same w×h, rows top-down)
     as a minimal uncompressed AVI: RIFF 'AVI ' → LIST hdrl (avih) +
-    LIST movi ('00db' DIB chunks, bottom-up BGR, 4-byte row stride)."""
-    if not frames or len({(len(f), len(f[0])) for f in frames}) != 1:
-        raise ValueError("frames must be non-empty and uniformly sized")
+    LIST movi ('00db' DIB chunks, bottom-up BGR, 4-byte row stride).
+    ``usec_per_frame`` overrides the fps-derived dwMicroSecPerFrame so
+    non-integer frame rates re-encode exactly (video_resize)."""
+    if not frames or not frames[0] or not frames[0][0]:
+        raise ValueError("frames must be non-empty uniform rectangular grids")
     h, w = len(frames[0]), len(frames[0][0])
+    if any(len(f) != h or any(len(r) != w for r in f) for f in frames):
+        # full per-row rectangularity, like encode_bmp/encode_ppm — a
+        # ragged row would silently shift every later pixel's stride
+        raise ValueError("frames must be non-empty uniform rectangular grids")
+    usec = usec_per_frame if usec_per_frame is not None else 1_000_000 // fps
+    if usec <= 0:
+        raise ValueError("bad frame rate")
     avih = _AVIH.pack(
-        1_000_000 // fps, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
+        usec, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
     )
     hdrl = _chunk(b"LIST", b"hdrl" + _chunk(b"avih", avih))
     movi = _chunk(
@@ -403,9 +410,14 @@ def audio_resample(payload: bytes, kind: str, target_bytes: int) -> bytes:
     if kind != "audio":
         raise ValueError(f"audio_resample got kind={kind!r}")
     rate, n_ch, frames = decode_wav(payload)
+    if not frames:
+        # decodable but empty data chunk: nothing to resample, and
+        # encode_wav (rightly) refuses empty frame lists — same
+        # quarantine signal as an undecodable payload
+        raise ValueError("empty WAV data chunk: nothing to resample")
     out_n = max(min(target_bytes // (2 * n_ch), len(frames)), 1)
     out = [frames[(i * len(frames)) // out_n] for i in range(out_n)]
-    out_rate = max(round(rate * out_n / len(frames)), 1) if frames else rate
+    out_rate = max(round(rate * out_n / len(frames)), 1)
     return encode_wav(out, out_rate)
 
 
@@ -417,9 +429,17 @@ def video_resize(payload: bytes, kind: str, target_bytes: int) -> bytes:
     if kind != "video":
         raise ValueError(f"video_resize got kind={kind!r}")
     fps, w, h, frames = decode_avi(payload)
+    if not frames:
+        # valid header, empty movi: nothing to resample (the features
+        # path reports n_frames=0; resize has no payload to produce)
+        raise ValueError("AVI has no frames: nothing to resample")
     side = max(int((target_bytes / (3 * len(frames))) ** 0.5), 1)
-    return encode_avi([resample_nn(f, side, side) for f in frames],
-                      fps=max(round(fps), 1))
+    # usec round-trips the exact dwMicroSecPerFrame (fps == 1e6/usec),
+    # so non-integer frame rates like 29.97 re-encode unchanged
+    return encode_avi(
+        [resample_nn(f, side, side) for f in frames],
+        usec_per_frame=round(1_000_000 / fps),
+    )
 
 
 def media_resize_router(payload: bytes, kind: str, target_bytes: int) -> bytes:

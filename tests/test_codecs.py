@@ -338,3 +338,71 @@ def test_resize_media_router_all_kinds(spark):
     assert len(decode_wav(got[2])[2]) == 12  # 24B mono
     fps, w, h, fr = decode_avi(got[3])
     assert (w, h, len(fr)) == (2, 2, 2)
+
+
+def test_codec_degenerate_payloads_raise_valueerror():
+    """Every degenerate-but-parseable payload must surface as the
+    documented ValueError quarantine signal, never an IndexError /
+    ZeroDivisionError that would kill a mapInPandas task opaquely."""
+    import struct
+
+    from marc_data_migration_spark.operators.codecs import (
+        audio_features,
+        audio_resample,
+        decode_wav,
+        encode_avi,
+        encode_wav,
+        video_resize,
+    )
+
+    # empty data chunk: features degrade gracefully, resample raises
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    empty_wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    assert audio_features(empty_wav, "audio") == [0.0, 8000.0, 1.0, 0.0]
+    with pytest.raises(ValueError):
+        audio_resample(empty_wav, "audio", 64)
+
+    # sample_rate=0 in fmt: decode itself must reject it
+    bad_fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    rate0 = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(bad_fmt) + 8 + 2) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+        + b"data" + struct.pack("<I", 2) + b"\x01\x00"
+    )
+    with pytest.raises(ValueError):
+        decode_wav(rate0)
+
+    # zero-frame AVI (valid header, empty movi): resize raises
+    avih = struct.pack("<14I", 100000, 0, 0, 0, 0, 0, 1, 0, 1, 1, 0, 0, 0, 0)
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih)) + b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    movi = b"LIST" + struct.pack("<I", 4) + b"movi"
+    no_frames = b"RIFF" + struct.pack("<I", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
+    with pytest.raises(ValueError):
+        video_resize(no_frames, "video", 64)
+
+    # ragged / empty frames: encode must refuse, not corrupt silently
+    with pytest.raises(ValueError):
+        encode_avi([[[(1, 1, 1)], [(1, 1, 1), (2, 2, 2)]]])
+    with pytest.raises(ValueError):
+        encode_avi([[]])
+    with pytest.raises(ValueError):
+        encode_wav([])
+
+
+def test_video_resize_preserves_fractional_fps():
+    from marc_data_migration_spark.operators.codecs import (
+        decode_avi,
+        encode_avi,
+        video_resize,
+    )
+
+    # 29.97 fps NTSC: dwMicroSecPerFrame=33367 must survive the resize
+    src = encode_avi([[[(9, 9, 9)] * 4] * 4] * 2, usec_per_frame=33367)
+    fps_in = decode_avi(src)[0]
+    fps_out = decode_avi(video_resize(src, "video", 12))[0]
+    assert fps_out == fps_in
+    assert abs(fps_in - 29.97) < 0.01
