@@ -124,13 +124,171 @@ def decode_ppm(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]
     return w, h, grid
 
 
+# ---------------------------------------------------------------------
+# PNG (zlib DEFLATE) — the COMPRESSED-format member of the image family.
+# stdlib ``zlib`` does the inflate; this module does the container walk
+# (length-prefixed CRC-checked chunks) and the per-scanline unfiltering
+# (all five PNG filter types), so compressed payloads are a real decode
+# path rather than a documented hook.
+# ---------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(
+    pixels: list[list[tuple[int, int, int]]],
+    filters: list[int] | None = None,
+) -> bytes:
+    """Encode an RGB grid as an 8-bit truecolor PNG. ``filters``
+    optionally picks the per-row filter type (0–4); the default is 0
+    (None). Non-trivial filters apply the real PNG filter transform, so
+    decode's unfilter paths are exercised by round-trip tests rather
+    than trusted."""
+    import zlib
+
+    h = len(pixels)
+    if h == 0 or len({len(r) for r in pixels}) != 1:
+        raise ValueError("pixels must be a non-empty rectangular grid")
+    w = len(pixels[0])
+    if filters is None:
+        filters = [0] * h
+    if len(filters) != h or any(f not in (0, 1, 2, 3, 4) for f in filters):
+        raise ValueError("filters must give one PNG filter type (0-4) per row")
+    raw = bytearray()
+    prev = bytes(3 * w)
+    for y, f in enumerate(filters):
+        cur = bytes(c for px in pixels[y] for c in px)
+        raw.append(f)
+        for i in range(3 * w):
+            a = cur[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if f == 0:
+                out = cur[i]
+            elif f == 1:
+                out = cur[i] - a
+            elif f == 2:
+                out = cur[i] - b
+            elif f == 3:
+                out = cur[i] - (a + b) // 2
+            else:
+                out = cur[i] - _paeth(a, b, c)
+            raw.append(out & 0xFF)
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Decode an 8-bit truecolor (color type 2) non-interlaced PNG →
+    (width, height, pixels top-down). Walks the chunk list with CRC
+    checks, inflates the concatenated IDAT stream, and unfilters every
+    scanline (filter types 0–4). Raises ValueError on anything else —
+    palette/alpha/interlace stay out of scope, loudly."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    i = len(_PNG_SIG)
+    w = h = -1
+    idat = bytearray()
+    seen_ihdr = seen_iend = False
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, i)
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if len(data) != length or i + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, i + 8 + length)
+        if crc != zlib.crc32(ctype + data):
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color != 2:
+                raise ValueError(
+                    f"only 8-bit truecolor PNG supported (depth={depth}, color={color})"
+                )
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported PNG compression/filter/interlace")
+            seen_ihdr = True
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        i += 12 + length
+    if not seen_ihdr or not seen_iend or w <= 0 or h <= 0:
+        raise ValueError("malformed PNG (missing IHDR/IEND or bad dimensions)")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad PNG IDAT stream: {e}") from e
+    stride = 3 * w
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline data has wrong length")
+    grid: list[list[tuple[int, int, int]]] = []
+    prev = bytes(stride)
+    for y in range(h):
+        base = y * (1 + stride)
+        f = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if f == 1:
+            for i2 in range(3, stride):
+                line[i2] = (line[i2] + line[i2 - 3]) & 0xFF
+        elif f == 2:
+            for i2 in range(stride):
+                line[i2] = (line[i2] + prev[i2]) & 0xFF
+        elif f == 3:
+            for i2 in range(stride):
+                a = line[i2 - 3] if i2 >= 3 else 0
+                line[i2] = (line[i2] + (a + prev[i2]) // 2) & 0xFF
+        elif f == 4:
+            for i2 in range(stride):
+                a = line[i2 - 3] if i2 >= 3 else 0
+                c = prev[i2 - 3] if i2 >= 3 else 0
+                line[i2] = (line[i2] + _paeth(a, prev[i2], c)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter type {f}")
+        prev = bytes(line)
+        grid.append(
+            [tuple(line[3 * x : 3 * x + 3]) for x in range(w)]
+        )
+    return w, h, grid
+
+
 def decode_image(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
-    """Sniff-and-decode: BMP or P6 PPM."""
+    """Sniff-and-decode: BMP, P6 PPM, or PNG."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
-    raise ValueError("unsupported image payload (BMP and P6 PPM supported)")
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
+    raise ValueError("unsupported image payload (BMP, P6 PPM, PNG supported)")
 
 
 def image_features(payload: bytes, kind: str) -> list[float]:
@@ -171,7 +329,11 @@ def image_resize(payload: bytes, kind: str, target_bytes: int) -> bytes:
     side = max(int((target_bytes / 3) ** 0.5), 1)
     w, h, grid = decode_image(payload)
     out = resample_nn(grid, side, side)
-    return encode_bmp(out) if payload[:2] == b"BM" else encode_ppm(out)
+    if payload[:2] == b"BM":
+        return encode_bmp(out)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return encode_png(out)
+    return encode_ppm(out)
 
 
 # ---------------------------------------------------------------------

@@ -11,7 +11,10 @@ audio decode walks the RIFF chunk list and extracts
 duration/rate/channels/RMS; video decode walks the RIFF tree to the
 movi '00db' frames and extracts frame-count/fps/dims/mean-luma;
 resize is decode → nearest-neighbor resample → re-encode. Compressed
-formats (JPEG/MP3/H.264 …) still take an injected hook —
+images decode too: 8-bit truecolor PNG (stdlib zlib inflate + real
+per-scanline unfiltering, all five filter types) rides the same
+``decode_image`` sniffer. Other compressed formats (JPEG/MP3/H.264 …)
+still take an injected hook —
 ``fake_decode``/``fake_resize`` are the deterministic byte-level
 stand-ins used where such a table must flow end-to-end in this
 container, and a real cluster injects PIL/librosa/ffmpeg through the
