@@ -342,19 +342,50 @@ def image_resize(payload: bytes, kind: str, target_bytes: int) -> bytes:
 
 _FMT_PCM = struct.Struct("<HHIIHH")  # format, channels, rate, byterate, align, bits
 
+# G.711 µ-law companding (WAV format tag 7) — the compressed member of
+# the audio family: 8 bits/sample log-quantized, expanded to int16 on
+# decode so every downstream hook (features, resample) is codec-blind.
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+def _ulaw_encode_sample(s: int) -> int:
+    sign = 0x80 if s < 0 else 0
+    mag = min(-s if s < 0 else s, _ULAW_CLIP) + _ULAW_BIAS
+    exp = 7
+    mask = 0x4000
+    while exp > 0 and not mag & mask:
+        exp -= 1
+        mask >>= 1
+    mantissa = (mag >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mantissa) & 0xFF
+
+
+def _ulaw_decode_sample(b: int) -> int:
+    b = ~b & 0xFF
+    exp = (b >> 4) & 0x07
+    mag = (((b & 0x0F) << 3) + _ULAW_BIAS << exp) - _ULAW_BIAS
+    return -mag if b & 0x80 else mag
+
 
 def encode_wav(
-    samples: list[tuple[int, ...]], sample_rate: int = 8000
+    samples: list[tuple[int, ...]], sample_rate: int = 8000, ulaw: bool = False
 ) -> bytes:
     """Encode 16-bit PCM frames (``samples[i]`` = one frame, a tuple of
-    per-channel ints in [-32768, 32767]) as a canonical RIFF WAV."""
+    per-channel ints in [-32768, 32767]) as a canonical RIFF WAV.
+    ``ulaw=True`` companded-encodes each sample to G.711 µ-law
+    (format tag 7, 8 bits/sample — lossy log quantization)."""
     if not samples or len({len(f) for f in samples}) != 1:
         raise ValueError("samples must be non-empty uniform-channel frames")
     n_ch = len(samples[0])
-    body = b"".join(
-        struct.pack(f"<{n_ch}h", *frame) for frame in samples
-    )
-    fmt = _FMT_PCM.pack(1, n_ch, sample_rate, sample_rate * n_ch * 2, n_ch * 2, 16)
+    if ulaw:
+        body = bytes(_ulaw_encode_sample(s) for frame in samples for s in frame)
+        fmt = _FMT_PCM.pack(7, n_ch, sample_rate, sample_rate * n_ch, n_ch, 8)
+    else:
+        body = b"".join(
+            struct.pack(f"<{n_ch}h", *frame) for frame in samples
+        )
+        fmt = _FMT_PCM.pack(1, n_ch, sample_rate, sample_rate * n_ch * 2, n_ch * 2, 16)
     data = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -364,10 +395,11 @@ def encode_wav(
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, list[tuple[int, ...]]]:
-    """Decode 16-bit PCM RIFF WAV → (sample_rate, n_channels, frames).
-    Walks the chunk list (extra chunks like LIST/INFO are skipped), so
-    non-canonical writers parse too. Raises ValueError on anything that
-    is not uncompressed 16-bit PCM."""
+    """Decode RIFF WAV → (sample_rate, n_channels, frames): 16-bit PCM
+    (format 1) or compressed G.711 µ-law (format 7, expanded to int16
+    so callers are codec-blind). Walks the chunk list (extra chunks
+    like LIST/INFO are skipped), so non-canonical writers parse too.
+    Raises ValueError on any other encoding."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
@@ -383,10 +415,23 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[tuple[int, ...]]]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, n_ch, rate, _, _, bits = fmt
-    if audio_format != 1 or bits != 16 or n_ch < 1:
-        raise ValueError(f"only 16-bit PCM supported (fmt={audio_format}, bits={bits})")
+    if n_ch < 1:
+        raise ValueError("bad WAV channel count")
     if rate < 1:
         raise ValueError("bad WAV sample rate")  # the decode_avi usec<=0 analogue
+    if audio_format == 7 and bits == 8:
+        n_frames = len(data) // n_ch
+        frames = [
+            tuple(
+                _ulaw_decode_sample(data[j * n_ch + c]) for c in range(n_ch)
+            )
+            for j in range(n_frames)
+        ]
+        return rate, n_ch, frames
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only 16-bit PCM or 8-bit mu-law supported (fmt={audio_format}, bits={bits})"
+        )
     frame_bytes = n_ch * 2
     n_frames = len(data) // frame_bytes
     frames = [
@@ -577,10 +622,22 @@ def audio_resample(payload: bytes, kind: str, target_bytes: int) -> bytes:
         # encode_wav (rightly) refuses empty frame lists — same
         # quarantine signal as an undecodable payload
         raise ValueError("empty WAV data chunk: nothing to resample")
-    out_n = max(min(target_bytes // (2 * n_ch), len(frames)), 1)
+    is_ulaw = _wav_fmt_tag(payload) == 7
+    bytes_per = n_ch if is_ulaw else 2 * n_ch
+    out_n = max(min(target_bytes // bytes_per, len(frames)), 1)
     out = [frames[(i * len(frames)) // out_n] for i in range(out_n)]
     out_rate = max(round(rate * out_n / len(frames)), 1)
-    return encode_wav(out, out_rate)
+    return encode_wav(out, out_rate, ulaw=is_ulaw)
+
+
+def _wav_fmt_tag(payload: bytes) -> int:
+    """The RIFF fmt chunk's format tag (1 = PCM, 7 = µ-law); resize
+    uses it to re-encode in the payload's own format."""
+    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    for cid, body in _riff_children(payload[12:end]):
+        if cid == b"fmt " and len(body) >= 2:
+            return struct.unpack_from("<H", body, 0)[0]
+    raise ValueError("WAV missing fmt chunk")
 
 
 def video_resize(payload: bytes, kind: str, target_bytes: int) -> bytes:

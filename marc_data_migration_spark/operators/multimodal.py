@@ -11,10 +11,12 @@ audio decode walks the RIFF chunk list and extracts
 duration/rate/channels/RMS; video decode walks the RIFF tree to the
 movi '00db' frames and extracts frame-count/fps/dims/mean-luma;
 resize is decode → nearest-neighbor resample → re-encode. Compressed
-images decode too: 8-bit truecolor PNG (stdlib zlib inflate + real
+payloads decode too: 8-bit truecolor PNG (stdlib zlib inflate + real
 per-scanline unfiltering, all five filter types) rides the same
-``decode_image`` sniffer. Other compressed formats (JPEG/MP3/H.264 …)
-still take an injected hook —
+``decode_image`` sniffer, and G.711 µ-law WAV (format tag 7) expands
+to int16 inside ``decode_wav`` so every audio hook is codec-blind.
+Other compressed formats (JPEG/MP3/H.264 …) still take an injected
+hook —
 ``fake_decode``/``fake_resize`` are the deterministic byte-level
 stand-ins used where such a table must flow end-to-end in this
 container, and a real cluster injects PIL/librosa/ffmpeg through the
@@ -66,7 +68,7 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def synthesize_image_media(docs: DataFrame) -> DataFrame:
+def synthesize_image_media(docs: DataFrame, include_png: bool = False) -> DataFrame:
     """Deterministic REAL image table from the documents fixture: one
     encoded bitmap per doc — BMP, with every third row P6 PPM so both
     container formats flow through the same pipeline. Dimensions and
@@ -78,9 +80,15 @@ def synthesize_image_media(docs: DataFrame) -> DataFrame:
         g = (11x + 17y + id)  % 256
         b = (5x + 3y + 23·id) % 256
 
+    ``include_png=True`` additionally encodes the ``id % 3 == 1`` rows
+    as compressed PNG (per-row filter type cycling through all five, so
+    the unfilter paths run distributed too). It is opt-in because the
+    ``media_decode_features`` oracle pins container byte sizes in
+    closed form, which a DEFLATE stream has none.
+
     Encoding runs distributed in mapInPandas (payload bytes are built
     executor-side; the driver never sees a pixel)."""
-    from .codecs import encode_bmp, encode_ppm
+    from .codecs import encode_bmp, encode_png, encode_ppm
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -99,7 +107,13 @@ def synthesize_image_media(docs: DataFrame) -> DataFrame:
                     ]
                     for y in range(h)
                 ]
-                enc = encode_ppm if mid % 3 == 0 else encode_bmp
+                if mid % 3 == 0:
+                    enc = encode_ppm
+                elif include_png and mid % 3 == 1:
+                    def enc(g, _mid=mid, _h=h):
+                        return encode_png(g, filters=[(_mid + y) % 5 for y in range(_h)])
+                else:
+                    enc = encode_bmp
                 rows.append(
                     {
                         "media_id": mid,

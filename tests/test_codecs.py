@@ -93,7 +93,8 @@ def test_image_resize_real_resample():
 def test_decode_media_default_real_codec_end_to_end(spark):
     """Planted deterministic bitmaps through the REAL default hook: the
     decoded dimensions and channel means must equal the closed-form
-    pixel arithmetic, for both BMP and PPM rows."""
+    pixel arithmetic, across all three container formats (PPM for
+    id%3==0, compressed PNG for id%3==1, BMP otherwise)."""
     from pyspark.sql import functions as F
 
     from marc_data_migration_spark.operators.multimodal import (
@@ -104,7 +105,9 @@ def test_decode_media_default_real_codec_end_to_end(spark):
     docs = spark.range(40).select(F.col("id").alias("doc_id"))
     feats = {
         r.media_id: r.feat
-        for r in decode_media(synthesize_image_media(docs)).collect()
+        for r in decode_media(
+            synthesize_image_media(docs, include_png=True)
+        ).collect()
     }
     assert len(feats) == 40
     for mid in range(40):
@@ -130,13 +133,16 @@ def test_resize_media_default_real_resizer_end_to_end(spark):
 
     docs = spark.range(12).select(F.col("id").alias("doc_id"))
     out = resize_media(
-        synthesize_image_media(docs), target_bytes=27  # side 3
+        synthesize_image_media(docs, include_png=True), target_bytes=27  # side 3
     ).collect()
     assert len(out) == 12
+    saw_png = False
     for r in out:
+        saw_png = saw_png or bytes(r.payload).startswith(b"\x89PNG")
         w, h, _ = decode_image(bytes(r.payload))
         assert (w, h) == (3, 3)
         assert r.meta["resized_bytes"] == "27"
+    assert saw_png  # the id%3==1 rows resized-and-re-encoded as PNG
 
 
 def test_wav_roundtrip_mono_and_stereo():
@@ -499,3 +505,76 @@ def test_png_through_sniffer_features_and_resize():
     out = image_resize(encode_png(big), "image", target_bytes=48)
     assert out[:8] == b"\x89PNG\r\n\x1a\n"
     assert decode_png(out)[2] == resample_nn(big, 4, 4)
+
+
+# ---------------------------------------------------------------------
+# G.711 µ-law WAV — the compressed member of the audio family
+# ---------------------------------------------------------------------
+
+
+def test_ulaw_codebook_properties():
+    """The companding transform satisfies the G.711 invariants:
+    decoded values are fixed points of a decode→encode→decode cycle,
+    and quantization error is bounded by the segment step size."""
+    from marc_data_migration_spark.operators.codecs import (
+        _ulaw_decode_sample,
+        _ulaw_encode_sample,
+    )
+
+    for b in range(256):
+        v = _ulaw_decode_sample(b)
+        assert -32768 < v < 32768
+        assert _ulaw_decode_sample(_ulaw_encode_sample(v)) == v, b
+    # error bound: segment exp has step 8 << exp (half-step after round)
+    for s in [-32768, -32635, -5000, -133, -1, 0, 1, 7, 132, 5000, 32635, 32767]:
+        v = _ulaw_decode_sample(_ulaw_encode_sample(s))
+        clipped = max(min(s, 32635), -32635)
+        assert abs(v - clipped) <= 1024, (s, v)  # top-segment step 8<<7
+
+
+def test_wav_ulaw_roundtrip_and_size():
+    """µ-law WAV decodes to the companded int16 frames; the payload is
+    half the PCM size for the same content (8 vs 16 bits/sample)."""
+    from marc_data_migration_spark.operators.codecs import (
+        _ulaw_decode_sample,
+        _ulaw_encode_sample,
+        decode_wav,
+        encode_wav,
+    )
+
+    frames = [(i * 321 - 16000, -i * 255) for i in range(100)]
+    payload = encode_wav(frames, sample_rate=8000, ulaw=True)
+    rate, n_ch, got = decode_wav(payload)
+    assert (rate, n_ch) == (8000, 2)
+    want = [
+        tuple(_ulaw_decode_sample(_ulaw_encode_sample(s)) for s in f) for f in frames
+    ]
+    assert got == want
+    pcm = encode_wav(frames, sample_rate=8000)
+    assert len(payload) - 44 == (len(pcm) - 44) // 2
+
+
+def test_wav_ulaw_features_and_resample_preserve_format():
+    """audio_features is codec-blind (µ-law expands to int16 before the
+    RMS), and audio_resample re-encodes µ-law as µ-law with the byte
+    budget computed at 1 byte/sample."""
+    from marc_data_migration_spark.operators.codecs import (
+        audio_features,
+        audio_resample,
+        decode_wav,
+        encode_wav,
+    )
+
+    frames = [((i * 97) % 20000 - 10000,) for i in range(200)]
+    payload = encode_wav(frames, sample_rate=8000, ulaw=True)
+    dur, rate, n_ch, rms = audio_features(payload, "audio")
+    assert (dur, rate, n_ch) == (200 / 8000, 8000.0, 1.0)
+    assert 0.0 < rms < 1.0
+    out = audio_resample(payload, "audio", target_bytes=50)
+    rate2, n_ch2, got = decode_wav(out)
+    assert n_ch2 == 1 and len(got) == 50  # 50 bytes / 1 byte-per-frame
+    assert rate2 == max(round(8000 * 50 / 200), 1)
+    # still µ-law: re-decoding PCM-style must fail on the format tag
+    from marc_data_migration_spark.operators.codecs import _wav_fmt_tag
+
+    assert _wav_fmt_tag(out) == 7
