@@ -497,16 +497,91 @@ def _chunk(cid: bytes, body: bytes) -> bytes:
     return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
 
 
+# BI_RLE8 (biCompression=1) — the compressed member of the video
+# family: 8-bit palettized frames, run-length encoded bottom-up, the
+# palette carried in the stream-format (strf) BITMAPINFOHEADER tail.
+_BIH = struct.Struct("<IiiHHIIiiII")  # BITMAPINFOHEADER (shared with BMP)
+
+
+def _rle8_palette(
+    frames: list[list[list[tuple[int, int, int]]]],
+) -> tuple[list[tuple[int, int, int]], dict[tuple[int, int, int], int]]:
+    colors: dict[tuple[int, int, int], int] = {}
+    for f in frames:
+        for row in f:
+            for px in row:
+                if px not in colors:
+                    if len(colors) == 256:
+                        raise ValueError("RLE8 needs <= 256 distinct colors")
+                    colors[px] = len(colors)
+    return list(colors), colors
+
+
+def _rle8_compress_frame(
+    frame: list[list[tuple[int, int, int]]], index: dict[tuple[int, int, int], int]
+) -> bytes:
+    out = bytearray()
+    h = len(frame)
+    for r in range(h):  # r=0 is the BOTTOM row — DIB storage order
+        row = frame[h - 1 - r]
+        x = 0
+        while x < len(row):
+            n = 1
+            while x + n < len(row) and n < 255 and row[x + n] == row[x]:
+                n += 1
+            out += bytes((n, index[row[x]]))
+            x += n
+        out += b"\x00\x01" if r == h - 1 else b"\x00\x00"  # EOB / EOL
+    return bytes(out)
+
+
+def _rle8_decompress(data: bytes, w: int, h: int) -> list[list[int]]:
+    """RLE8 → index grid with rows top-down. Handles encoded runs,
+    absolute mode, EOL, EOB; position deltas (escape 2) are rejected —
+    skipped pixels would be undefined content."""
+    grid = [[0] * w for _ in range(h)]
+    x = r = i = 0  # r counts rows from the bottom
+    while i + 2 <= len(data):
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:
+            if r >= h or x + n > w:
+                raise ValueError("RLE8 run overflows the frame")
+            grid[h - 1 - r][x : x + n] = [v] * n
+            x += n
+        elif v == 0:
+            r += 1
+            x = 0
+        elif v == 1:
+            return grid
+        elif v == 2:
+            raise ValueError("RLE8 position delta not supported")
+        else:
+            if i + v > len(data):
+                raise ValueError("truncated RLE8 absolute run")
+            if r >= h or x + v > w:
+                raise ValueError("RLE8 absolute run overflows the frame")
+            grid[h - 1 - r][x : x + v] = list(data[i : i + v])
+            x += v
+            i += v + (v & 1)  # absolute runs pad to word boundary
+    raise ValueError("RLE8 stream missing end-of-bitmap")
+
+
 def encode_avi(
     frames: list[list[list[tuple[int, int, int]]]],
     fps: int = 10,
     usec_per_frame: int | None = None,
+    rle8: bool = False,
 ) -> bytes:
     """Encode RGB pixel-grid frames (all the same w×h, rows top-down)
     as a minimal uncompressed AVI: RIFF 'AVI ' → LIST hdrl (avih) +
     LIST movi ('00db' DIB chunks, bottom-up BGR, 4-byte row stride).
     ``usec_per_frame`` overrides the fps-derived dwMicroSecPerFrame so
-    non-integer frame rates re-encode exactly (video_resize)."""
+    non-integer frame rates re-encode exactly (video_resize).
+    ``rle8=True`` compresses: frames become palettized BI_RLE8 '00dc'
+    chunks and the hdrl gains a LIST strl whose strf BITMAPINFOHEADER
+    carries biCompression=1 plus the palette (≤256 distinct colors
+    across all frames, or ValueError)."""
     if not frames or not frames[0] or not frames[0][0]:
         raise ValueError("frames must be non-empty uniform rectangular grids")
     h, w = len(frames[0]), len(frames[0][0])
@@ -520,10 +595,22 @@ def encode_avi(
     avih = _AVIH.pack(
         usec, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
     )
-    hdrl = _chunk(b"LIST", b"hdrl" + _chunk(b"avih", avih))
-    movi = _chunk(
-        b"LIST", b"movi" + b"".join(_chunk(b"00db", _bgr_rows(f)) for f in frames)
-    )
+    hdrl_body = b"hdrl" + _chunk(b"avih", avih)
+    if rle8:
+        palette, index = _rle8_palette(frames)
+        bih = _BIH.pack(_BIH.size, w, h, 1, 8, 1, 0, 0, 0, len(palette), 0)
+        strf = bih + b"".join(bytes((b, g, r, 0)) for r, g, b in palette)
+        strh = b"vids" + b"mrle" + struct.pack("<10I4H", *([0] * 10), 0, 0, w, h)
+        hdrl_body += _chunk(
+            b"LIST", b"strl" + _chunk(b"strh", strh) + _chunk(b"strf", strf)
+        )
+        movi_frames = b"".join(
+            _chunk(b"00dc", _rle8_compress_frame(f, index)) for f in frames
+        )
+    else:
+        movi_frames = b"".join(_chunk(b"00db", _bgr_rows(f)) for f in frames)
+    hdrl = _chunk(b"LIST", hdrl_body)
+    movi = _chunk(b"LIST", b"movi" + movi_frames)
     return _chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
@@ -544,15 +631,19 @@ def _riff_children(body: bytes):
 def decode_avi(
     payload: bytes,
 ) -> tuple[float, int, int, list[list[list[tuple[int, int, int]]]]]:
-    """Decode a minimal uncompressed AVI → (fps, width, height, frames
-    with rows top-down). Walks the RIFF tree (unknown chunks/LISTs are
-    skipped); only '00db' uncompressed-DIB frames are supported."""
+    """Decode a minimal AVI → (fps, width, height, frames with rows
+    top-down). Walks the RIFF tree (unknown chunks/LISTs are skipped).
+    '00db' uncompressed-DIB frames and palettized BI_RLE8 '00dc'
+    frames (strf biCompression=1, palette from the strf tail) are
+    supported; any other compression raises."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     size = struct.unpack_from("<I", payload, 4)[0]
     body = payload[8 : 8 + size]
     avih = None
-    frame_bodies: list[bytes] = []
+    compression = 0
+    palette: list[tuple[int, int, int]] = []
+    frame_bodies: list[tuple[bytes, bool]] = []  # (body, is_rle)
     for cid, sub in _riff_children(body[4:]):
         if cid != b"LIST" or len(sub) < 4:
             continue
@@ -563,12 +654,31 @@ def decode_avi(
                     if len(s2) < _AVIH.size:
                         raise ValueError("truncated avih header")
                     avih = _AVIH.unpack_from(s2, 0)
+                elif c2 == b"LIST" and s2[:4] == b"strl":
+                    for c3, s3 in _riff_children(s2[4:]):
+                        if c3 != b"strf" or len(s3) < _BIH.size:
+                            continue
+                        bih = _BIH.unpack_from(s3, 0)
+                        compression = bih[5]
+                        n_colors = bih[9] or (256 if bih[4] == 8 else 0)
+                        if _BIH.size + 4 * n_colors > len(s3):
+                            raise ValueError("truncated strf palette")
+                        palette = [
+                            (s3[_BIH.size + 4 * j + 2],
+                             s3[_BIH.size + 4 * j + 1],
+                             s3[_BIH.size + 4 * j])
+                            for j in range(n_colors)
+                        ]
         elif kind == b"movi":
             for c2, s2 in _riff_children(inner):
                 if c2 == b"00dc":
-                    raise ValueError("compressed AVI frames not supported")
+                    if compression != 1:
+                        raise ValueError(
+                            "compressed AVI frames other than BI_RLE8 not supported"
+                        )
+                    frame_bodies.append((s2, True))
                 if c2 == b"00db":
-                    frame_bodies.append(s2)
+                    frame_bodies.append((s2, False))
     if avih is None:
         raise ValueError("AVI missing avih header")
     usec, w, h = avih[0], avih[8], avih[9]
@@ -576,7 +686,15 @@ def decode_avi(
         raise ValueError("bad AVI dimensions or frame rate")
     stride = 3 * w + ((-3 * w) % 4)
     frames = []
-    for fb in frame_bodies:
+    for fb, is_rle in frame_bodies:
+        if is_rle:
+            idx = _rle8_decompress(fb, w, h)
+            try:
+                grid = [[palette[v] for v in row] for row in idx]
+            except IndexError:
+                raise ValueError("RLE8 index outside the strf palette") from None
+            frames.append(grid)
+            continue
         if len(fb) < stride * h:
             raise ValueError("truncated AVI frame")
         grid = []
@@ -654,11 +772,29 @@ def video_resize(payload: bytes, kind: str, target_bytes: int) -> bytes:
         raise ValueError("AVI has no frames: nothing to resample")
     side = max(int((target_bytes / (3 * len(frames))) ** 0.5), 1)
     # usec round-trips the exact dwMicroSecPerFrame (fps == 1e6/usec),
-    # so non-integer frame rates like 29.97 re-encode unchanged
+    # so non-integer frame rates like 29.97 re-encode unchanged;
+    # BI_RLE8 sources re-encode as BI_RLE8 (NN resample only reuses
+    # existing pixels, so the <=256-color palette constraint holds)
     return encode_avi(
         [resample_nn(f, side, side) for f in frames],
         usec_per_frame=round(1_000_000 / fps),
+        rle8=_avi_compression(payload) == 1,
     )
+
+
+def _avi_compression(payload: bytes) -> int:
+    """The strf BITMAPINFOHEADER's biCompression (0 when the minimal
+    uncompressed form carries no strl); resize uses it to re-encode in
+    the payload's own format — the _wav_fmt_tag analogue."""
+    size = struct.unpack_from("<I", payload, 4)[0]
+    for cid, sub in _riff_children(payload[8 : 8 + size][4:]):
+        if cid == b"LIST" and sub[:4] == b"hdrl":
+            for c2, s2 in _riff_children(sub[4:]):
+                if c2 == b"LIST" and s2[:4] == b"strl":
+                    for c3, s3 in _riff_children(s2[4:]):
+                        if c3 == b"strf" and len(s3) >= _BIH.size:
+                            return _BIH.unpack_from(s3, 0)[5]
+    return 0
 
 
 def media_resize_router(payload: bytes, kind: str, target_bytes: int) -> bytes:

@@ -10,13 +10,14 @@ headers/stride/BGR/bottom-up storage and extracts pixel statistics;
 audio decode walks the RIFF chunk list and extracts
 duration/rate/channels/RMS; video decode walks the RIFF tree to the
 movi '00db' frames and extracts frame-count/fps/dims/mean-luma;
-resize is decode → nearest-neighbor resample → re-encode. Compressed
-payloads decode too: 8-bit truecolor PNG (stdlib zlib inflate + real
-per-scanline unfiltering, all five filter types) rides the same
-``decode_image`` sniffer, and G.711 µ-law WAV (format tag 7) expands
-to int16 inside ``decode_wav`` so every audio hook is codec-blind.
-Other compressed formats (JPEG/MP3/H.264 …) still take an injected
-hook —
+resize is decode → nearest-neighbor resample → re-encode. Every kind
+also decodes a COMPRESSED format: image adds 8-bit truecolor PNG
+(stdlib zlib inflate + real per-scanline unfiltering, all five filter
+types) on the same ``decode_image`` sniffer; audio adds G.711 µ-law
+WAV (format tag 7, expanded to int16 inside ``decode_wav``); video
+adds palettized BI_RLE8 AVI ('00dc' frames, palette from the strf
+header). Resize re-encodes each payload in its own format. Lossier
+compressed formats (JPEG/MP3/H.264 …) still take an injected hook —
 ``fake_decode``/``fake_resize`` are the deterministic byte-level
 stand-ins used where such a table must flow end-to-end in this
 container, and a real cluster injects PIL/librosa/ffmpeg through the

@@ -578,3 +578,104 @@ def test_wav_ulaw_features_and_resample_preserve_format():
     from marc_data_migration_spark.operators.codecs import _wav_fmt_tag
 
     assert _wav_fmt_tag(out) == 7
+
+
+# ---------------------------------------------------------------------
+# BI_RLE8 AVI — the compressed member of the video family
+# ---------------------------------------------------------------------
+
+
+def _rle_frames():
+    # few distinct colors with long runs — the shape RLE compresses
+    return [
+        [[(f * 10, 0, 200) if x < 6 else (0, 255, 0) for x in range(9)]
+         for _y in range(7)]
+        for f in range(3)
+    ]
+
+
+def test_avi_rle8_roundtrip_and_compression():
+    from marc_data_migration_spark.operators.codecs import decode_avi, encode_avi
+
+    frames = _rle_frames()
+    rle = encode_avi(frames, fps=10, rle8=True)
+    raw = encode_avi(frames, fps=10)
+    assert decode_avi(rle) == decode_avi(raw) == (10.0, 9, 7, frames)
+    # runs actually compress: movi payload well under the DIB size
+    assert len(rle) < len(raw)
+
+
+def test_avi_rle8_property_random_paletted_frames():
+    import random
+
+    from marc_data_migration_spark.operators.codecs import decode_avi, encode_avi
+
+    rnd = random.Random(777)
+    colors = [(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+              for _ in range(20)]
+    for _ in range(10):
+        w, h, n = rnd.randint(1, 12), rnd.randint(1, 8), rnd.randint(1, 4)
+        frames = [
+            [[colors[rnd.randrange(len(colors))] for _ in range(w)]
+             for _ in range(h)]
+            for _ in range(n)
+        ]
+        fps, gw, gh, got = decode_avi(encode_avi(frames, rle8=True))
+        assert (gw, gh, got) == (w, h, frames)
+
+
+def test_avi_rle8_absolute_mode_and_rejections():
+    import struct as _s
+
+    from marc_data_migration_spark.operators.codecs import (
+        _rle8_decompress,
+        encode_avi,
+    )
+
+    # absolute mode: escape 00 n>=3 then n literal indices, word-padded
+    data = bytes([0, 3, 5, 6, 7, 0]) + b"\x00\x01"  # 3 literals + pad, EOB
+    assert _rle8_decompress(data, 3, 1) == [[5, 6, 7]]
+    # run overflowing the row is loud
+    with pytest.raises(ValueError, match="overflows"):
+        _rle8_decompress(bytes([4, 1, 0, 1]), 3, 1)
+    # missing EOB is loud
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        _rle8_decompress(bytes([2, 1, 0, 0]), 3, 1)
+    # position delta rejected
+    with pytest.raises(ValueError, match="delta"):
+        _rle8_decompress(bytes([0, 2, 1, 1, 0, 1]), 3, 1)
+    # >256 distinct colors cannot palettize
+    big = [[[(x % 256, y % 7, (x // 256) % 256) for x in range(300)]
+            for y in range(2)]]
+    with pytest.raises(ValueError, match="256"):
+        encode_avi(big, rle8=True)
+    # non-RLE8 '00dc' still rejected: patch biCompression to 2
+    from marc_data_migration_spark.operators.codecs import decode_avi
+
+    rle = bytearray(encode_avi(_rle_frames(), rle8=True))
+    i = rle.find(b"strf")
+    _s.pack_into("<I", rle, i + 8 + 16, 2)  # biCompression field
+    with pytest.raises(ValueError, match="not supported|palette"):
+        decode_avi(bytes(rle))
+
+
+def test_avi_rle8_features_and_resize_preserve_format():
+    """video_features is codec-blind; video_resize re-encodes RLE8 as
+    RLE8 with frame count and fps preserved."""
+    from marc_data_migration_spark.operators.codecs import (
+        _avi_compression,
+        decode_avi,
+        encode_avi,
+        video_features,
+        video_resize,
+    )
+
+    frames = _rle_frames()
+    rle = encode_avi(frames, fps=10, rle8=True)
+    assert video_features(rle, "video") == video_features(
+        encode_avi(frames, fps=10), "video"
+    )
+    out = video_resize(rle, "video", target_bytes=3 * 3 * 4 * 4)  # side 4
+    assert _avi_compression(out) == 1
+    fps, w, h, got = decode_avi(out)
+    assert (fps, w, h, len(got)) == (10.0, 4, 4, 3)
