@@ -1160,6 +1160,54 @@ def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_decode_compressed",
+    """
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CAST(8 + doc_id % 5 AS BIGINT) AS w,
+         CAST(6 + doc_id % 4 AS BIGINT) AS h
+  FROM documents
+),
+xs AS (SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+xy AS (SELECT media_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
+SELECT media_id,
+       CASE CAST(media_id % 3 AS INT)
+            WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' ELSE 'bmp' END AS fmt,
+       w AS width, h AS height,
+       CAST(sum((7 * x + 13 * y + 31 * media_id) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((11 * x + 17 * y + media_id) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((5 * x + 3 * y + 23 * media_id) % 256) AS BIGINT) AS sum_b
+FROM xy
+GROUP BY 1, 2, 3, 4
+""",
+)
+def q_media_decode_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED media decode, oracle-pinned: like
+    media_decode_features but with the ``media_id % 3 == 1`` rows
+    planted as real zlib-compressed PNG (per-row filter type cycling
+    all five — synthesize_image_media's include_png mode), so the
+    inflate + scanline-unfilter path runs distributed under the same
+    closed-form pixel-sum oracle. Container byte size is excluded: a
+    DEFLATE stream has no closed form, which is exactly why this is a
+    separate query instead of a flag on media_decode_features."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    feats = decode_media(synthesize_image_media(docs, include_png=True))
+    n = F.col("feat")[0] * F.col("feat")[1]
+    return feats.select(
+        "media_id",
+        F.when(F.col("media_id") % 3 == 0, "ppm")
+        .when(F.col("media_id") % 3 == 1, "png")
+        .otherwise("bmp")
+        .alias("fmt"),
+        F.col("feat")[0].cast("bigint").alias("width"),
+        F.col("feat")[1].cast("bigint").alias("height"),
+        F.round(F.col("feat")[2] * n).cast("bigint").alias("sum_r"),
+        F.round(F.col("feat")[3] * n).cast("bigint").alias("sum_g"),
+        F.round(F.col("feat")[4] * n).cast("bigint").alias("sum_b"),
+    )
+
+
+@query(
     "multimodal_features",
     """
 SELECT doc_id AS media_id,
@@ -3877,12 +3925,17 @@ QUERY_ORDER: list[str] = [
     "ngram_neardup_pairs",
     "simhash_banded_pairs",
     "passage_dup_pairs",
-    # new r05: real-codec decode proof (displaces first_seen_docs —
-    # r04 green; the first-seen ledger shape stays pinned by
-    # test_dedup_stream + the exact_dedup hash family in-window)
+    # new r05: real-codec decode proofs — media_decode_features (BMP/
+    # PPM + closed-form container sizes) and media_decode_compressed
+    # (same pixel oracle with the id%3==1 rows as real zlib PNG; no
+    # n_bytes column — DEFLATE size has no closed form). Both are
+    # new-in-r05, never driver-proven, so both sit in-window; the
+    # second slot comes from lsh_multitable_ann_topk (r04 driver-green;
+    # the multi-table LSH bucket-join shape stays pinned in-window by
+    # embedding_neardup_multitable, which runs the same banding).
     "media_decode_features",
+    "media_decode_compressed",
     # LLM-pipeline: similarity search / clustering
-    "lsh_multitable_ann_topk",
     "ivf_ann_topk",
     "kmeans_cells",
     "ivf_trained_topk",
@@ -3963,6 +4016,10 @@ QUERY_ORDER: list[str] = [
     # field_audit_diffs, same audit source), keys_touched_overlap
     # (semi-join twin of in-window keys_new_in_feed over the same
     # key sets).
+    # Mid-r05: lsh_multitable_ann_topk (r04 driver-green) rotated out
+    # to make room for media_decode_compressed; its multi-table LSH
+    # banding stays pinned in-window by embedding_neardup_multitable.
+    "lsh_multitable_ann_topk",
     "first_seen_docs",
     "normalize_text",
     "key_extraction",
