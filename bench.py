@@ -824,7 +824,54 @@ def main() -> None:
         **extras,
         "regression_gate": gate,
     }
-    print(json.dumps(out))
+    # The driver captures only the LAST ~2000 chars of stdout and
+    # json-parses the final line; r04's full payload outgrew that window
+    # and front-truncated into an unparseable line (BENCH_r04.json
+    # parsed=null). So: full detail goes to a sidecar file, stdout gets
+    # a slim line with the contract keys plus scalar continuity keys,
+    # hard-guarded under the window.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH",
+        f"bench_detail_sf{_sf(SF_DIR)}.json",
+    )
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+    except OSError:
+        detail_path = None
+    slim = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": out["sf"],
+        "events_per_sec": out["events_per_sec"],
+    }
+    for k in ("stream_events_per_sec", "ingest_docs_per_sec"):
+        if k in extras:
+            slim[k] = extras[k]
+    if isinstance(gate, dict):
+        slim["regression_flagged"] = len(gate.get("flagged", []) or [])
+    if detail_path:
+        slim["detail"] = os.path.relpath(detail_path)
+    line = json.dumps(slim)
+    if len(line) > 1900:  # never let the contract line outgrow the window
+        for drop in ("detail", "regression_flagged", "ingest_docs_per_sec",
+                     "stream_events_per_sec"):
+            slim.pop(drop, None)
+            line = json.dumps(slim)
+            if len(line) <= 1900:
+                break
+    if len(line) > 1900:
+        slim["queries"] = {
+            k: v for k, v in sorted(
+                timings.items(), key=lambda kv: -kv[1]
+            )[:40]
+        }
+        line = json.dumps(slim)
+    print(line)
     if (
         "--strict-regression" in sys.argv
         and gate is not None
