@@ -571,6 +571,48 @@ def skew_bench(parallelism: int, n_events: int, rounds: int = 3) -> dict:
     return {m: round(s, 2) for m, s in best.items()}
 
 
+def contract_line(out: dict, detail_path, window: int = 1900) -> str:
+    """The ONE stdout line the driver json-parses, hard-capped under its
+    ~2000-char stdout-tail window (r04's full payload overflowed it and
+    front-truncated into an unparseable line). Pure function so the cap
+    and key set are unit-testable without Spark (tests/test_bench_contract.py).
+
+    Degradation order when over the cap: drop the optional scalar keys,
+    then truncate `queries` to the 40 most expensive."""
+    slim = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "events_per_sec": out["events_per_sec"],
+    }
+    for k in ("stream_events_per_sec", "ingest_docs_per_sec"):
+        if k in out:
+            slim[k] = out[k]
+    gate = out.get("regression_gate")
+    if isinstance(gate, dict):
+        slim["regression_flagged"] = len(gate.get("flagged", []) or [])
+    if detail_path:
+        slim["detail"] = os.path.relpath(detail_path)
+    line = json.dumps(slim)
+    if len(line) > window:  # never let the contract line outgrow the window
+        for drop in ("detail", "regression_flagged", "ingest_docs_per_sec",
+                     "stream_events_per_sec"):
+            slim.pop(drop, None)
+            line = json.dumps(slim)
+            if len(line) <= window:
+                break
+    if len(line) > window:
+        slim["queries"] = {
+            k: v for k, v in sorted(
+                out["queries"].items(), key=lambda kv: -kv[1]
+            )[:40]
+        }
+        line = json.dumps(slim)
+    return line
+
+
 def main() -> None:
     if "--skew" in sys.argv:
         n_events = int(os.environ.get("SKEW_EVENTS", "8000000"))
@@ -841,37 +883,7 @@ def main() -> None:
             json.dump(out, fh, indent=1)
     except OSError:
         detail_path = None
-    slim = {
-        "metric": out["metric"],
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": out["sf"],
-        "events_per_sec": out["events_per_sec"],
-    }
-    for k in ("stream_events_per_sec", "ingest_docs_per_sec"):
-        if k in extras:
-            slim[k] = extras[k]
-    if isinstance(gate, dict):
-        slim["regression_flagged"] = len(gate.get("flagged", []) or [])
-    if detail_path:
-        slim["detail"] = os.path.relpath(detail_path)
-    line = json.dumps(slim)
-    if len(line) > 1900:  # never let the contract line outgrow the window
-        for drop in ("detail", "regression_flagged", "ingest_docs_per_sec",
-                     "stream_events_per_sec"):
-            slim.pop(drop, None)
-            line = json.dumps(slim)
-            if len(line) <= 1900:
-                break
-    if len(line) > 1900:
-        slim["queries"] = {
-            k: v for k, v in sorted(
-                timings.items(), key=lambda kv: -kv[1]
-            )[:40]
-        }
-        line = json.dumps(slim)
-    print(line)
+    print(contract_line(out, detail_path))
     if (
         "--strict-regression" in sys.argv
         and gate is not None
