@@ -3875,7 +3875,7 @@ def q_rp_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rv").alias("qv"),
         F.explode(F.slice(cell_rank(F.col("rv"), cents), 1, 4)).alias("pr"),
     ).select("q", "qv", F.col("pr")["i"].alias("cell"))
-    return probe_topk(c, q, 3, "vec_id")
+    return probe_topk(c, q, 3, "vec_id", dim=16)
 
 
 # ---------------------------------------------------------------------

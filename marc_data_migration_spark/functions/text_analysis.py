@@ -288,10 +288,16 @@ def lm_doc_scores(
     train = train if train is not None else df
     grams_t = doc_ngram_rows(train, text_col, 2, id_col)
     big = grams_t.groupBy("ngram").agg(F.count(F.lit(1)).alias("c_big"))
+    # c_ctx(w1) = occurrences of w1 as a bigram prefix = sum of c_big
+    # over bigrams starting with w1 — identical values to counting the
+    # raw gram stream, but computed from the (distinct-bigram-sized)
+    # aggregate instead of a SECOND normalize+explode pass over the
+    # whole train corpus (guide §1.2: don't recompute what a cheaper
+    # equivalent derivation gives; one full corpus scan saved).
     ctx = (
-        grams_t.select(F.split(F.col("ngram"), " ")[0].alias("w1"))
+        big.select(F.split(F.col("ngram"), " ")[0].alias("w1"), "c_big")
         .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c_ctx"))
+        .agg(F.sum("c_big").alias("c_ctx"))
     )
     from .normalize import normalize_text
 

@@ -61,15 +61,21 @@ def _local_query_df(spark, rows, schema):
         return spark.createDataFrame(rows, schema=schema)
 
 
-def _dist2(v, c_lit: list[float]):
+def _dist2(v, c_lit: list[float], offset: int | None = None):
     """Squared L2 distance <v,v> - 2<v,c> + <c,c> — the expanded form
-    both engines evaluate (term order pinned by the expression tree)."""
+    both engines evaluate (term order pinned by the expression tree).
+    HOF dots by design — see similarity_search._dot for the r06
+    evidence that unrolled chains lose in every real context.
+    ``offset`` (None = whole vector; an int, INCLUDING 0, selects the
+    PQ subspace window v[offset+1 : offset+len(c_lit)])."""
+    if offset is not None:
+        v = F.slice(v, offset + 1, len(c_lit))
     c = F.array(*[F.lit(x) for x in c_lit])
     cc = sum(x * x for x in c_lit)
     return _dot(v, v) - F.lit(2.0) * _dot(v, c) + F.lit(cc)
 
 
-def cell_rank(v, centroids: list[list[float]]):
+def cell_rank(v, centroids: list[list[float]], offset: int | None = None):
     """Centroids ranked nearest-first as a sorted struct array: struct
     sort is lexicographic, so sort_array asc over (dist, i) ranks by
     distance asc then index asc — mirroring the oracle's
@@ -77,16 +83,16 @@ def cell_rank(v, centroids: list[list[float]]):
     of the head is an nprobe cell list."""
     scores = F.array(
         *[
-            F.struct(_dist2(v, c).alias("d"), F.lit(i).alias("i"))
+            F.struct(_dist2(v, c, offset=offset).alias("d"), F.lit(i).alias("i"))
             for i, c in enumerate(centroids)
         ]
     )
     return F.sort_array(scores)
 
 
-def argmin_cell(v, centroids: list[list[float]]):
+def argmin_cell(v, centroids: list[list[float]], offset: int | None = None):
     """Index of the nearest centroid, ties to the lowest index."""
-    return cell_rank(v, centroids)[0]["i"]
+    return cell_rank(v, centroids, offset=offset)[0]["i"]
 
 
 def kmeans_fit(
@@ -193,7 +199,7 @@ def ivf_trained_topk(
         "qv",
         F.explode(F.slice(cell_rank(F.col("qv"), centroids), 1, nprobe)).alias("pr"),
     ).select("q", "qv", F.col("pr")["i"].alias("cell"))
-    return probe_topk(c, q, k, id_col)
+    return probe_topk(c, q, k, id_col, dim=dim)
 
 
 def semantic_neardup_pairs(
@@ -222,17 +228,34 @@ def semantic_neardup_pairs(
     Physically: assignment is the no-shuffle projection, the pair join
     is a cell equi-join (each side shuffles once on cell, hot cells
     split via AQE), the cosine filter is a projection."""
-    from .similarity_search import _cosine
+    from .similarity_search import _dot, _norm, _pair_cosine
 
     _check_dim(corpus, vec_col, dim, "semantic_neardup_pairs", strict=strict_dim)
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    c = c.select(id_col, "v", argmin_cell(F.col("v"), centroids).alias("cell"))
-    a = c.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cell")
-    b = c.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "cell")
+    c = c.select(
+        id_col, "v", argmin_cell(F.col("v"), centroids).alias("cell")
+    ).withColumn("_n", _norm(F.col("v"), dim))
+    a = c.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cell",
+        F.col("_n").alias("_na"),
+    )
+    b = c.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "cell",
+        F.col("_n").alias("_nb"),
+    )
     return (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", _cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            # HOF pair dot + precomputed norms: the threshold filter
+            # pushes into the join condition, where the interpreted HOF
+            # beats the unrolled chain ~6× (embedding_neardup_pairs A/B)
+            _pair_cosine(
+                _dot(F.col("va"), F.col("vb")), F.col("_na"), F.col("_nb")
+            ).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
 
@@ -316,7 +339,7 @@ def ivf_index_probe(
         .filter(F.col("cell").isin(probed))
         .select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"), "cell")
     )
-    return probe_topk(c, q_local, k, id_col)
+    return probe_topk(c, q_local, k, id_col, dim=dim)
 
 
 def pq_fit(
@@ -365,7 +388,7 @@ def pq_fit(
                         F.struct(
                             F.lit(j).alias("j"),
                             argmin_cell(
-                                F.slice(F.col("v"), j * sub + 1, sub), books[j]
+                                F.col("v"), books[j], offset=j * sub
                             ).alias("cell"),
                             F.slice(F.col("v"), j * sub + 1, sub).alias("s"),
                         )
@@ -399,7 +422,7 @@ def _pq_code_cols(vec, codebooks: list[list[list[float]]]) -> list:
     encode step never shuffles."""
     sub = len(codebooks[0][0])
     return [
-        argmin_cell(F.slice(vec, j * sub + 1, sub), cb).alias(f"code{j}")
+        argmin_cell(vec, cb, offset=j * sub).alias(f"code{j}")
         for j, cb in enumerate(codebooks)
     ]
 
@@ -495,7 +518,7 @@ def _adc_query_side(
         "q",
         *[
             F.array(
-                *[_dist2(F.slice(F.col("qv"), j * sub + 1, sub), cw) for cw in cb]
+                *[_dist2(F.col("qv"), cw, offset=j * sub) for cw in cb]
             ).alias(f"tab{j}")
             for j, cb in enumerate(codebooks)
         ],

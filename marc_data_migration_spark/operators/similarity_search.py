@@ -49,7 +49,8 @@ def random_planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
 
 def hyperplane_bucket(vec_col, planes: list[list[float]]):
     """LSH bucket: bit i = sign of <vec, plane_i>. Pure Catalyst
-    (zip_with/aggregate over literal arrays) — JVM-side, codegen'd."""
+    (zip_with/aggregate over literal arrays) — JVM-side. The HOF form
+    is deliberate: see _dot on why unrolled literal dots lose."""
     v = _as_double(vec_col)
     expr = F.lit(0)
     for i, plane in enumerate(planes):
@@ -69,8 +70,111 @@ def scaled_bits(n_rows: int, target_bucket_size: int = 256,
     return max(min_bits, min(max_bits, math.ceil(math.log2(n_rows / target_bucket_size))))
 
 
-def _dot(a, b):
+def _dot(a, b, dim: int | None = None, offset: int = 0):
+    """Inner product <a, b>.
+
+    Three forms, all evaluating the IDENTICAL left-to-right float fold
+    ``((0.0 + a0*b0) + a1*b1) + ...`` so results are bit-for-bit equal
+    (IEEE addition order pinned — the oracle-parity invariant):
+
+    - ``b`` a Python list of floats: fully UNROLLED to
+      ``a[i] * lit(b_i)`` terms;
+    - ``dim`` given (column×column): unrolled to ``a[i] * b[i]``;
+    - neither: the ``aggregate(zip_with(...))`` HOF fold.
+
+    EVERY OPERATOR IN THIS MODULE USES THE HOF FORM, on r06 evidence.
+    The unrolled forms looked attractive (HOFs are CodegenFallback)
+    but lost in every real context, for three measured reasons:
+    (1) a 64-term chain inside a join condition or Generate runs as
+    one giant non-JIT-able method — ~6× SLOWER per pair than the
+    interpreted HOF's tight primitive loop (sf1.0 A/B: 94 s vs
+    14.9 s on embedding_neardup); (2) each unrolled stage pays
+    seconds of fixed Catalyst+Janino cost, which dominates small
+    inputs (sf0.1 bench: ivf probes 1 s → 8 s on compile alone);
+    (3) CollapseProject multiplies an unrolled array column into
+    every downstream reference (rp_project at sf0.1: 3 s → 126 s).
+    The actual per-pair win — norms hoisted out of the cosine so each
+    candidate pays 1 dot instead of 3 — is independent of the dot
+    form and is what probe_topk/neardup now do. The unrolled forms
+    stay available for the equivalence tests (test_unrolled_dot.py)
+    and for any future WSCG-Project-only use, with this warning.
+
+    ``offset`` shifts the index window on ``a`` (and on ``b`` when it
+    is a column), replacing per-row ``F.slice`` allocations in the PQ
+    subspace paths: ``_dot(v, cw, offset=j*sub)`` reads
+    ``v[j*sub+i] * lit(cw_i)`` directly.
+
+    The unrolled forms are rendered as ONE ``F.expr`` SQL string when
+    the inputs print as plain column names: building a 64-term chain
+    through py4j Column arithmetic costs ~260 driver round-trips per
+    dot (~5-10 s of query-CONSTRUCT time per ANN probe, measured);
+    the SQL string is one round-trip and parses to the identical
+    expression tree. Falls back to the Column loop for anonymous
+    expressions."""
+    if isinstance(b, (list, tuple)):
+        a_sql = _sql_name(a)
+        if a_sql is not None:
+            return F.expr(
+                "CAST(0.0 AS DOUBLE) + "
+                + " + ".join(
+                    f"({a_sql}[{offset + i}] * {_dlit(x)})"
+                    for i, x in enumerate(b)
+                )
+            )
+        acc = F.lit(0.0)
+        for i, x in enumerate(b):
+            acc = acc + a[offset + i] * F.lit(float(x))
+        return acc
+    if dim is not None:
+        a_sql, b_sql = _sql_name(a), _sql_name(b)
+        if a_sql is not None and b_sql is not None:
+            return F.expr(
+                "CAST(0.0 AS DOUBLE) + "
+                + " + ".join(
+                    f"({a_sql}[{offset + i}] * {b_sql}[{offset + i}])"
+                    for i in range(dim)
+                )
+            )
+        acc = F.lit(0.0)
+        for i in range(dim):
+            acc = acc + a[offset + i] * b[offset + i]
+        return acc
+    if offset:
+        raise ValueError("_dot: offset requires a literal b or explicit dim")
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+_NAME_RE = None
+
+
+def _sql_name(col) -> str | None:
+    """The column's SQL identifier when it is a plain (possibly
+    dotted struct-field) reference — e.g. ``cv`` or ``s.sa`` — else
+    None. Uses the JVM column's string form, which for a bare
+    ``F.col(...)`` is just the name; anything with operators or
+    aliases fails the identifier regex and takes the fallback path."""
+    global _NAME_RE
+    if _NAME_RE is None:
+        import re
+
+        _NAME_RE = re.compile(
+            r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*"
+        )
+    try:
+        s = col._jc.toString()
+    except AttributeError:
+        return None
+    return s if _NAME_RE.fullmatch(s) else None
+
+
+def _dlit(x: float) -> str:
+    """Render a float as a Spark SQL DOUBLE literal producing the
+    exact same IEEE double as ``F.lit(float(x))``: repr() is the
+    shortest round-trip decimal, parsed by Java Double.parseDouble;
+    the D suffix (or an existing exponent) keeps the parser from
+    typing a bare decimal literal as DECIMAL."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "D"
 
 
 def _check_dim(
@@ -119,28 +223,60 @@ def _check_dim(
 
 
 def _as_double(col):
-    return F.transform(col, lambda x: x.cast("double"))
+    # Cast, not F.transform(x -> cast): ArrayType Cast is codegen'd,
+    # while higher-order transform is CodegenFallback (interpreted).
+    # Element-wise float->double widening is exact either way.
+    return col.cast("array<double>")
 
 
-def _cosine(a, b):
+def _cosine(a, b, dim: int | None = None):
     """Rounded cosine similarity — the single definition all three
     operators (and their DuckDB oracles) must stay bit-identical to."""
     return F.round(
-        _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 4
+        _dot(a, b, dim) / (F.sqrt(_dot(a, a, dim)) * F.sqrt(_dot(b, b, dim))), 4
     )
 
 
+def _norm(v, dim: int | None = None):
+    """sqrt(<v, v>) — the cosine denominator factor. Pair-scoring paths
+    materialize this ONCE PER ROW below the join (projects do not
+    collapse across a Join, so CollapseProject cannot inline it back
+    into the per-pair expression) and score with
+    ``round(dot/(na*nb), 4)`` — the same multiplications on the same
+    values as ``_cosine``, so results are bit-identical while each
+    candidate pair pays 1 dot instead of 3 (guide §2.3: compute on the
+    small side of the fan-out)."""
+    # dim is accepted for call-site documentation but the dot stays the
+    # HOF fold: _norm runs once per ROW (not per pair), where the fixed
+    # codegen cost of an unrolled chain can never pay for itself
+    return F.sqrt(_dot(v, v))
+
+
+def _pair_cosine(dot_expr, na, nb):
+    """round(<a,b>/(|a|·|b|), 4) from a pair dot and two precomputed
+    per-row norms — bit-identical to ``_cosine`` (same value, same
+    operation order in the denominator product)."""
+    return F.round(dot_expr / (na * nb), 4)
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
-                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                dim: int | None = 64) -> DataFrame:
     """Exact top-k by cosine: returns (q, vec_id, score) with
     deterministic (score desc, vec_id) tie-break."""
     q = queries.select(
         F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("qv")
     )
+    q = q.select("q", "qv", _norm(F.col("qv"), dim).alias("_qn"))
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    c = c.select(id_col, "cv", _norm(F.col("cv"), dim).alias("_cn"))
     scored = F.broadcast(q).crossJoin(c).filter(F.col("q") != F.col(id_col))
     scored = scored.select(
-        "q", id_col, _cosine(F.col("qv"), F.col("cv")).alias("score")
+        "q",
+        id_col,
+        _pair_cosine(
+            _dot(F.col("qv"), F.col("cv")), F.col("_qn"), F.col("_cn")
+        ).alias("score"),
     )
     w = Window.partitionBy("q").orderBy(F.col("score").desc(), F.col(id_col))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
@@ -161,14 +297,20 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
         _as_double(F.col(vec_col)).alias("qv"),
         hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    q = q.select("q", "qv", "bucket", _norm(F.col("qv"), dim).alias("_qn"))
     c = corpus.select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("cv"),
         hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    c = c.select(id_col, "cv", "bucket", _norm(F.col("cv"), dim).alias("_cn"))
     scored = F.broadcast(q).join(c, "bucket").filter(F.col("q") != F.col(id_col))
     scored = scored.select(
-        "q", id_col, _cosine(F.col("qv"), F.col("cv")).alias("score")
+        "q",
+        id_col,
+        _pair_cosine(
+            _dot(F.col("qv"), F.col("cv")), F.col("_qn"), F.col("_cn")
+        ).alias("score"),
     )
     w = Window.partitionBy("q").orderBy(F.col("score").desc(), F.col(id_col))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
@@ -177,7 +319,8 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
 def _cell_scores(v, centroids: list[list[float]]):
     """Array of struct(s=<v,c_i>, negi=-i, i) — struct sort order is
     lexicographic, so sort_array(desc) ranks by score desc then i asc
-    (negi desc), matching the oracle's ORDER BY s DESC, i."""
+    (negi desc), matching the oracle's ORDER BY s DESC, i. HOF dots
+    by design (see _dot)."""
     return F.array(
         *[
             F.struct(
@@ -191,21 +334,34 @@ def _cell_scores(v, centroids: list[list[float]]):
 
 
 def probe_topk(
-    corpus_cells: DataFrame, query_cells: DataFrame, k: int, id_col: str
+    corpus_cells: DataFrame,
+    query_cells: DataFrame,
+    k: int,
+    id_col: str,
+    dim: int | None = None,
 ) -> DataFrame:
     """Shared IVF probe tail (random-direction AND k-means-trained
     families — clustering.ivf_trained_topk): bucket equi-join on
     ``cell`` with the query side broadcast, self-pair filter,
     rounded-cosine scoring, deterministic (score desc, id) per-query
     top-k. Inputs: corpus_cells(id_col, cv, cell) and
-    query_cells(q, qv, cell) — one row per probed cell."""
+    query_cells(q, qv, cell) — one row per probed cell. r06: both
+    norms are materialized below the join (projects do not collapse
+    across a Join), so each candidate pays ONE dot instead of three —
+    bit-identical scores, ~3× on the probe stage at sf1.0."""
+    corpus_cells = corpus_cells.withColumn("_cn", _norm(F.col("cv"), dim))
+    query_cells = query_cells.withColumn("_qn", _norm(F.col("qv"), dim))
     scored = (
         F.broadcast(query_cells)
         .join(corpus_cells, "cell")
         .filter(F.col("q") != F.col(id_col))
     )
     scored = scored.select(
-        "q", id_col, _cosine(F.col("qv"), F.col("cv")).alias("score")
+        "q",
+        id_col,
+        _pair_cosine(
+            _dot(F.col("qv"), F.col("cv")), F.col("_qn"), F.col("_cn")
+        ).alias("score"),
     )
     w = Window.partitionBy("q").orderBy(F.col("score").desc(), F.col(id_col))
     return (
@@ -265,7 +421,7 @@ def ivf_ann_topk(
             )["i"]
         ).alias("cell"),
     )
-    return probe_topk(c, q, k, id_col)
+    return probe_topk(c, q, k, id_col, dim=dim)
 
 
 def embedding_neardup_pairs(
@@ -311,17 +467,32 @@ def embedding_neardup_pairs(
             F.col(id_col),
             _as_double(F.col(vec_col)).alias("v"),
             hyperplane_bucket(F.col(vec_col), all_planes).alias("bucket"),
-        )
+        ).withColumn("_n", _norm(F.col("v"), dim))
         a = bucketed.select(
-            F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket"
+            F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket",
+            F.col("_n").alias("_na"),
         )
         b = bucketed.select(
-            F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket"
+            F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket",
+            F.col("_n").alias("_nb"),
         )
         j = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        # Pair dot stays the HOF aggregate (dim=None), NOT the unrolled
+        # chain: the threshold filter is pushed into the SortMergeJoin
+        # condition, and in that (non-whole-stage-codegen) context the
+        # interpreted HOF — one eval() with a tight primitive loop —
+        # beats the 260-node unrolled tree ~6× (interleaved A/B at
+        # sf1.0: 14.9 s vs 94 s; a Generate barrier that forces a
+        # Project context costs +50% in row materialization, 22 s).
+        # The win here is the precomputed norms: 1 dot per candidate
+        # instead of 3 (old form 42-48 s → 14.9 s, same results).
         return (
             j.select(
-                "id_a", "id_b", _cosine(F.col("va"), F.col("vb")).alias("score")
+                "id_a",
+                "id_b",
+                _pair_cosine(
+                    _dot(F.col("va"), F.col("vb")), F.col("_na"), F.col("_nb")
+                ).alias("score"),
             )
             .filter(F.col("score") >= threshold)
         )
@@ -347,13 +518,27 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    e = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    va = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    vb = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    e = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("_n", _norm(F.col("v"), dim))
+    va = e.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("_n").alias("_na")
+    )
+    vb = e.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("_n").alias("_nb")
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", _cosine(F.col("va"), F.col("vb")).alias("score"))
+        .select(
+            "id_a",
+            "id_b",
+            # HOF pair dot + precomputed norms (see the n_tables=1
+            # branch for the measured context rationale)
+            _pair_cosine(
+                _dot(F.col("va"), F.col("vb")), F.col("_na"), F.col("_nb")
+            ).alias("score"),
+        )
         .filter(F.col("score") >= threshold)
     )
 
@@ -408,12 +593,24 @@ def lsh_multitable_ann_topk(
         .select("q", "cand")
         .distinct()
     )
-    qv = queries.select(F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("q_v"))
-    cv = corpus.select(F.col(id_col).alias("cand"), _as_double(F.col(vec_col)).alias("cand_v"))
+    qv = queries.select(
+        F.col(id_col).alias("q"), _as_double(F.col(vec_col)).alias("q_v")
+    ).withColumn("_qn", _norm(F.col("q_v"), dim))
+    cv = corpus.select(
+        F.col(id_col).alias("cand"), _as_double(F.col(vec_col)).alias("cand_v")
+    ).withColumn("_cn", _norm(F.col("cand_v"), dim))
     scored = (
         cand_ids.join(F.broadcast(qv), "q")
         .join(cv, "cand")
-        .select("q", F.col("cand").alias(id_col), _cosine(F.col("q_v"), F.col("cand_v")).alias("score"))
+        .select(
+            "q",
+            F.col("cand").alias(id_col),
+            _pair_cosine(
+                _dot(F.col("q_v"), F.col("cand_v")),
+                F.col("_qn"),
+                F.col("_cn"),
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("q").orderBy(F.col("score").desc(), F.col(id_col))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
