@@ -37,8 +37,35 @@ from .operators.merge import apply_changes
 # ---------------------------------------------------------------------
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Match scan parallelism to the cluster when the source cannot be
+    split (guide §6): the driver's testdata tables are single-file,
+    single-ROW-GROUP parquet (documents at sf1.0: 50k rows, 1 row
+    group), so ``maxPartitionBytes``/``minPartitionNum`` cannot help —
+    byte-range splits beyond the row group read nothing, and every map
+    pipeline over the table (normalize chains, shingling, the 8-seed
+    md5 minhash, the CDC feed derivation, partial aggregations) ran on
+    ONE productive task out of 32 (measured: minhash signature stage
+    21 s at sf1.0, ~17 s of it single-task md5). One cheap round-robin
+    exchange of the raw rows right after the scan spreads that work.
+    Adaptive, not a local[32] constant: the target is
+    ``defaultParallelism`` and the exchange is SKIPPED whenever the
+    scan already yields at least that many partitions — at real scale
+    (many files / row groups) this is a no-op."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
+def _events(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    """``spread=False`` for consumers whose downstream work per row is
+    too light to amortize the exchange (measured at sf1.0:
+    windowed_metrics — one minute-bucket partial agg — went 0.5 s →
+    1.6 s WITH the spread; the CDC merge family went 3.8 s → 2.2 s
+    with it)."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _spread(spark, df) if spread else df
 
 
 def changes_from_events(events: DataFrame) -> DataFrame:
@@ -350,7 +377,7 @@ FROM documents
 """,
 )
 def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return docs.select("doc_id", normalize_text("text").alias("norm"))
 
 
@@ -369,7 +396,7 @@ FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
 """,
 )
 def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     a = docs.select(F.col("doc_id"), F.col("text").alias("a_text"))
     b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("b_text"))
     return a.join(b, "doc_id").select(
@@ -398,6 +425,10 @@ GROUP BY l_returnflag, l_linestatus
 """,
 )
 def q_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unspread: filter + partial agg per row is lighter than a spread
+    # exchange of the full lineitem width (sf0.1 gate flagged the
+    # spread form 0.42 s -> 0.64 s; partial agg already collapses each
+    # scan task's output to a handful of group rows)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -432,8 +463,8 @@ SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
 """,
 )
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = _spread(spark, spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    c = _spread(spark, spark.read.parquet(f"{sf_dir}/customer.parquet"))
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
@@ -483,6 +514,8 @@ FROM documents GROUP BY md5(text)
 """,
 )
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unspread: one md5 + partial agg per row is lighter than the
+    # spread exchange of the text column (0.28 s -> 0.44 s with it)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.groupBy(F.md5("text").alias("text_hash")).agg(
         F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
@@ -591,7 +624,7 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truncate / token-sort are idempotent on an already token-sorted
     # processed string, so the score is unchanged (pinned by the
     # oracle and the DP-replay tests).
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     a = docs.select(F.col("doc_id"), F.col("text").alias("a_text"))
     b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("b_text"))
     l1 = a.join(b, "doc_id").select(
@@ -696,7 +729,7 @@ GROUP BY doc_id, seed
 """,
 )
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return minhash_signatures(docs)
 
 
@@ -719,7 +752,7 @@ FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.do
 """,
 )
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return lsh_candidate_pairs(minhash_signatures(docs))
 
 
@@ -742,7 +775,7 @@ FROM bits GROUP BY doc_id
 """,
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return simhash(docs)
 
 
@@ -770,7 +803,7 @@ def q_ngram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df_max=20 exercises the document-frequency cap the operator needs
     # at corpus scale (a shingle in m docs emits m² candidate rows);
     # sizes still count every shingle, so jaccard only underestimates
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return ngram_jaccard_pairs(docs, threshold=0.5, df_max=20)
 
 
@@ -794,7 +827,7 @@ SELECT q, vec_id, score FROM (
 """,
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return cosine_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
 
 
@@ -821,7 +854,7 @@ SELECT q, vec_id, score FROM (
 """,
 )
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return lsh_ann_topk(emb, emb.filter(F.col("vec_id") % 100 == 0))
 
 
@@ -851,7 +884,7 @@ FROM (SELECT doc_id, {_LANG_SCORE_SQL} FROM documents)
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text_analysis import tokens
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     toked = docs.select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("_toks")
     )
@@ -888,7 +921,7 @@ FROM t
 """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     feats = quality_features("text")
     return docs.select("doc_id", *[feats[k].alias(k) for k in feats])
 
@@ -903,7 +936,7 @@ FROM documents
 """,
 )
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return docs.select(
         "doc_id",
         n_tokens("text").cast("long").alias("n_ws_tokens"),
@@ -920,7 +953,7 @@ FROM documents
 """,
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return docs.select("doc_id", fingerprint(normalize_text("text")).alias("fp"))
 
 
@@ -977,7 +1010,7 @@ GROUP BY x.doc_id, y.doc_id HAVING count(*) >= 2
 def q_passage_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_dedup import shared_passage_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") % 40 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(
@@ -1027,7 +1060,7 @@ FROM d GROUP BY fp HAVING count(DISTINCT split) > 1
 def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.sampling import hash_split
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
@@ -1144,7 +1177,7 @@ def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact per-channel pixel sums + container byte size must equal the
     oracle's closed-form replay of the same arithmetic. A wrong stride
     pad, BGR order, row direction, or header size changes the output."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).select("doc_id")
     feats = decode_media(synthesize_image_media(docs))
     n = F.col("feat")[0] * F.col("feat")[1]
     return feats.select(
@@ -1190,7 +1223,7 @@ def q_media_decode_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form pixel-sum oracle. Container byte size is excluded: a
     DEFLATE stream has no closed form, which is exactly why this is a
     separate query instead of a flag on media_decode_features."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).select("doc_id")
     feats = decode_media(synthesize_image_media(docs, include_png=True))
     n = F.col("feat")[0] * F.col("feat")[1]
     return feats.select(
@@ -1220,7 +1253,7 @@ FROM documents
 """,
 )
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     feats = decode_media(synthesize_media(docs), codec=fake_decode)
     return feats.select(
         "media_id",
@@ -1241,7 +1274,7 @@ FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
 """,
 )
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     media = synthesize_media(docs)
     return (
         frame_sample(media, every_n_bytes=128)
@@ -1786,7 +1819,9 @@ FROM tagged GROUP BY conv_id, sess
 def q_conv_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.stateful import sessionize_batch
 
-    ch = changes_from_events(_events(spark, sf_dir))
+    # spread=False: the sessionization window re-shuffles on conv_id
+    # immediately, so a spread exchange upstream is pure extra
+    ch = changes_from_events(_events(spark, sf_dir, spread=False))
     return sessionize_batch(ch, gap_seconds=3600).select(
         "conv_id",
         F.unix_micros(F.col("session_start").cast("timestamp")).alias(
@@ -1831,7 +1866,7 @@ FROM p
 """,
 )
 def q_fuzzy_perfect_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     proc = F.trim(F.lower(F.regexp_replace(F.col("text"), "[^0-9a-zA-Z]+", " ")))
     ta = F.trim(F.substring(proc, 1, 200))
     tb = F.when(
@@ -1946,7 +1981,7 @@ SELECT id_a, id_b, score FROM scored WHERE score >= 0.95
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity_search import embedding_neardup_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
         "vec_id", "embedding"
     )
     planted = emb.filter(F.col("vec_id") % 50 == 0).select(
@@ -1983,7 +2018,9 @@ GROUP BY 1
 def q_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.lineage import windowed_change_metrics
 
-    ch = changes_from_events(_events(spark, sf_dir))
+    # spread=False: one minute-bucket partial agg per row is too light
+    # to amortize the spread exchange (0.5 s -> 1.6 s with it, sf1.0)
+    ch = changes_from_events(_events(spark, sf_dir, spread=False))
     return windowed_change_metrics(ch, "1 minute").select(
         F.unix_micros(F.col("window_start").cast("timestamp")).alias(
             "window_start_us"
@@ -2044,7 +2081,7 @@ SELECT q, vec_id, score FROM (
 def q_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity_search import lsh_multitable_ann_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return lsh_multitable_ann_topk(
         emb, emb.filter(F.col("vec_id") % 100 == 0), k=3, bits=4, n_tables=_MT_TABLES
     )
@@ -2100,7 +2137,7 @@ SELECT q, vec_id, score FROM (
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity_search import ivf_ann_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return ivf_ann_topk(
         emb, emb.filter(F.col("vec_id") % 100 == 0), k=3, n_cells=16, nprobe=4
     )
@@ -2116,7 +2153,7 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_conv_sessions_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.stateful import sessionize_batch_salted
 
-    ch = changes_from_events(_events(spark, sf_dir))
+    ch = changes_from_events(_events(spark, sf_dir, spread=False))
     return sessionize_batch_salted(ch, gap_seconds=3600, shard_seconds=86400).select(
         "conv_id",
         F.unix_micros(F.col("session_start").cast("timestamp")).alias(
@@ -2145,7 +2182,7 @@ FROM documents
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import fake_resize, resize_media, synthesize_media
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     media = synthesize_media(docs)
     resized = resize_media(media, target_bytes=64, resizer=fake_resize)
     return resized.select(
@@ -2184,7 +2221,7 @@ FROM sigs GROUP BY simhash HAVING count(*) > 1
 """,
 )
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return (
         simhash(docs)
         .groupBy("simhash")
@@ -2252,7 +2289,7 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
 """,
 )
 def q_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" xq1 xq2")).alias("text"),
@@ -2549,7 +2586,7 @@ SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY id
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_dedup import connected_components
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     pairs = lsh_candidate_pairs(minhash_signatures(docs))
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), "component"
@@ -2576,7 +2613,7 @@ FROM documents
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.sampling import hash_split
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return docs.select("doc_id", hash_split("doc_id").alias("split"))
 
 
@@ -2603,7 +2640,7 @@ def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.sampling import stratified_cap
     from .functions.text_analysis import tokens
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     toked = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
     labeled = toked.select(
         "doc_id", lang_id("_toks", toks=F.col("_toks")).alias("pred_lang")
@@ -2656,7 +2693,7 @@ SELECT id_a, id_b, score FROM (
 def q_embedding_neardup_mt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity_search import embedding_neardup_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
         "vec_id", "embedding"
     )
     planted = emb.filter(F.col("vec_id") % 50 == 0).select(
@@ -2732,7 +2769,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text_analysis import quality_features, tokens
     from .operators.text_dedup import connected_components
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).select("doc_id", "text")
     good = docs.filter(quality_features("text")["n_tokens"] >= 30)
     pairs = lsh_candidate_pairs(minhash_signatures(good))
     comp = connected_components(pairs)
@@ -2792,7 +2829,7 @@ FROM aug
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text_analysis import pii_flags, redact_pii
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     did = F.col("doc_id")
     aug = F.concat(
         F.col("text"),
@@ -2863,7 +2900,7 @@ def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     prompt); contaminated docs are exactly those sharing an 8-gram."""
     from .operators.text_dedup import decontaminate
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("bench_id"),
         F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 12)).alias(
@@ -2901,7 +2938,7 @@ def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.sampling import pack_contexts
     from .functions.text_analysis import n_tokens
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     d = docs.select("doc_id", n_tokens("text").alias("nt"))
     return pack_contexts(d, "nt", ctx_size=512, n_shards=8)
 
@@ -2967,7 +3004,7 @@ def q_corpus_to_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.sampling import hash_split, pack_contexts, temperature_keep
     from .functions.text_analysis import n_tokens
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
         "doc_id", "lang", n_tokens("text").alias("nt")
     )
     good = docs.filter(F.col("nt") >= 30)
@@ -3006,7 +3043,7 @@ SELECT doc_id, lang, round(p, 4) AS keep_prob FROM (
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.sampling import temperature_keep
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return temperature_keep(docs, alpha=0.5, budget=250).select(
         "doc_id", "lang", "keep_prob"
     )
@@ -3038,7 +3075,7 @@ ORDER BY n DESC, ngram LIMIT 20
 def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text_analysis import top_ngrams
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return top_ngrams(docs, n=2, k_top=20)
 
 
@@ -3134,7 +3171,7 @@ GROUP BY af.cell, c.c
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.clustering import kmeans_cells
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return kmeans_cells(emb, k=8, n_iter=3, dim=64, seed=19)
 
 
@@ -3176,7 +3213,7 @@ SELECT q, vec_id, score FROM (
 def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.clustering import ivf_trained_topk, kmeans_fit
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     cents = kmeans_fit(emb, k=8, n_iter=3, dim=64, seed=19)
     return ivf_trained_topk(
         emb, emb.filter(F.col("vec_id") % 100 == 0), cents, k=3, nprobe=4
@@ -3225,7 +3262,7 @@ def q_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out near cos 0.51 — real-embedding semantic dedup runs 0.9+)."""
     from .operators.clustering import kmeans_fit, semantic_neardup_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
         "vec_id", "embedding"
     )
     cents = kmeans_fit(emb, k=8, n_iter=3, dim=64, seed=19)
@@ -3264,7 +3301,7 @@ FROM t GROUP BY lang
 def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text_analysis import quality_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     feats = quality_features("text")
     d = docs.select(
         "lang",
@@ -3298,7 +3335,7 @@ FROM documents GROUP BY source, lang
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text_analysis import n_tokens
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     agg = docs.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tokens("text")).cast("bigint").alias("n_tokens"),
@@ -3344,7 +3381,7 @@ SELECT fingerprint, doc_id, ts AS first_ts FROM (
 def q_first_seen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.dedup_stream import first_seen_batch
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).select("doc_id", "text")
     base = docs.withColumn("ts", (F.col("doc_id") % 97).cast("long"))
     dups = (
         docs.filter(F.col("doc_id") % 25 == 0)
@@ -3393,7 +3430,7 @@ SELECT doc_id, n_bigrams, avg_logp, round(exp(-avg_logp), 2) AS ppl FROM per_doc
 def q_lm_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text_analysis import lm_doc_scores
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).select("doc_id", "text")
     return lm_doc_scores(docs)
 
 
@@ -3508,7 +3545,7 @@ SELECT q, vec_id, d2 FROM (
 def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.clustering import ivfpq_topk, kmeans_fit, pq_fit
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
         "vec_id", "embedding"
     )
     coarse = kmeans_fit(emb, k=8, n_iter=3, dim=64, seed=19)
@@ -3531,7 +3568,7 @@ def q_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     training schedules AND the two-stage rank."""
     from .operators.clustering import ivfpq_rerank_topk, kmeans_fit, pq_fit
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
         "vec_id", "embedding"
     )
     coarse = kmeans_fit(emb, k=8, n_iter=3, dim=64, seed=19)
@@ -3606,7 +3643,7 @@ def q_fuzzy_decontam_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     defeats the exact 8-gram pass still trips this one."""
     from .operators.text_dedup import fuzzy_decontaminate
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("bench_id"),
         F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 40)).alias(
@@ -3642,7 +3679,7 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.sampling import weighted_sample
     from .functions.text_analysis import n_tokens
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     d = docs.select("doc_id", n_tokens("text").cast("bigint").alias("n_tokens"))
     return weighted_sample(d, "n_tokens", n=100)
 
@@ -3713,7 +3750,7 @@ def q_bpe_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the whole schedule is oracle-pinned."""
     from .functions.bpe import bpe_vocab
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).select("doc_id", "text")
     return bpe_vocab(docs, n_merges=6, k_top=30)
 
 
@@ -3743,7 +3780,7 @@ def q_bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     against."""
     from .functions.bpe import bpe_doc_token_counts
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).select("doc_id", "text")
     return bpe_doc_token_counts(docs, n_merges=6)
 
 
@@ -3782,7 +3819,7 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     document — the chunk table an embedding pass vectorizes."""
     from .functions.text_analysis import chunk_documents
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).select("doc_id", "text")
     return chunk_documents(docs, window=32, stride=24)
 
 
@@ -3859,7 +3896,7 @@ def q_rp_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity_search import probe_topk, random_planes, rp_project
 
     planes = random_planes(16, 64, 73)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
         "vec_id", "embedding"
     )
     proj = rp_project(emb, planes)

@@ -639,6 +639,17 @@ def rp_project(
     _check_dim(df, vec_col, dim, "rp_project", strict=strict_dim)
     v = F.col("_v")
     rv = F.array(*[_dot(v, F.array(*[F.lit(x) for x in p])) for p in planes])
-    return df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).select(
-        F.col(id_col), rv.alias(out_col)
+    # Generate barrier (r06): without it CollapseProject merges this
+    # projection into every downstream consumer, so each reference to
+    # the projected vector re-evaluates all 16 plane dots — an IVF
+    # probe over rv (8 centroids × <v,v>+<v,c> + norm) re-ran the
+    # whole projection ~19× per corpus row (rp_ivf_topk 18.8 s vs
+    # 2.5 s for the same probe over a materialized column at sf1.0).
+    # Behind the explode, rv is computed exactly once per row.
+    projected = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    ).select(
+        F.col(id_col),
+        F.explode(F.array(F.struct(rv.alias(out_col)))).alias("_s"),
     )
+    return projected.select(F.col(id_col), F.col(f"_s.{out_col}").alias(out_col))
