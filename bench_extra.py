@@ -39,6 +39,11 @@ def main() -> None:
     ap.add_argument("--explain-dir", default=None)
     ap.add_argument("--explain-suffix", default="")
     ap.add_argument("--no-warm", action="store_true")
+    ap.add_argument(
+        "--explain-only",
+        action="store_true",
+        help="construct + capture plans, skip the timed noop writes",
+    )
     args = ap.parse_args()
 
     names = args.queries.split(",") if args.queries else list(HEADLINE)
@@ -78,7 +83,8 @@ def main() -> None:
             t0 = time.perf_counter()
             df = QUERIES[name](spark, args.sf_dir)
             t1 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            if not args.explain_only:
+                df.write.format("noop").mode("overwrite").save()
             t2 = time.perf_counter()
             construct[name] = round(min(construct.get(name, 1e18), t1 - t0), 3)
             timings[name] = round(min(timings.get(name, 1e18), t2 - t1), 3)
