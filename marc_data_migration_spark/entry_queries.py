@@ -614,29 +614,53 @@ FROM s
 """,
 )
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Two explode(array(struct(...))) barriers pin each expensive
-    # expression to exactly ONE evaluation: the token-sort regexp
-    # chain (layer 1), then the UDF score + levenshtein + lengths
-    # (layer 2); the band arithmetic above reads struct fields only.
-    # Without the Generate barriers, projection collapse inlined the
-    # chains/levenshtein into every reference — measured 6.2 s vs
-    # 3.1 s at sf0.1. The UDF scores sa/sb directly: full_process /
-    # truncate / token-sort are idempotent on an already token-sorted
-    # processed string, so the score is unchanged (pinned by the
-    # oracle and the DP-replay tests).
+    # r06 shape: ONE token-sort chain evaluation per DOC, not per pair
+    # side. The old form self-joined raw docs on doc_id+1 and computed
+    # the chain for both join sides — every doc paid the 4-regex chain
+    # twice (once as pair-left, once as pair-right). Now the chain runs
+    # once per doc behind a Generate barrier, and consecutive pairs
+    # come from lead() inside doc_id-div-B blocks: a doc on a block
+    # boundary (doc_id % B == 0) is DUPLICATED into the previous block
+    # purely to serve as that block's last lead, so every (i, i+1)
+    # pair is produced exactly once and the window never becomes the
+    # single global-order partition. The pair set and all values are
+    # identical to the join form (lead+filter on lead_id == doc_id+1
+    # handles id gaps the same way the equi-join did); the oracle SQL
+    # is untouched. The second barrier (UDF + levenshtein + lengths)
+    # is unchanged — without barriers, projection collapse inlined the
+    # chains/levenshtein into every reference (6.2 s vs 3.1 s at
+    # sf0.1, PLANS.md §Projection-collapse). The explicit
+    # repartition(n, _blk) keeps AQE from coalescing the slim window
+    # shuffle back to one task (the lev+UDF layer must stay parallel).
     docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    a = docs.select(F.col("doc_id"), F.col("text").alias("a_text"))
-    b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("b_text"))
-    l1 = a.join(b, "doc_id").select(
+    B = 256
+    n_par = spark.sparkContext.defaultParallelism
+    s0 = docs.select(
         "doc_id",
         F.explode(
-            F.array(
-                F.struct(
-                    _tok_sort_col("a_text").alias("sa"),
-                    _tok_sort_col("b_text").alias("sb"),
-                )
-            )
-        ).alias("s"),
+            F.array(F.struct(_tok_sort_col("text").alias("s")))
+        ).alias("_t"),
+    ).select("doc_id", F.col("_t.s").alias("s"))
+    blk = F.expr(f"doc_id div {B}")
+    rows = s0.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(B)) == 0, F.array(blk, blk - 1)
+            ).otherwise(F.array(blk))
+        ).alias("_blk"),
+    ).repartition(n_par, "_blk")
+    w = Window.partitionBy("_blk").orderBy("doc_id")
+    l1 = (
+        rows.select(
+            "doc_id",
+            F.col("s").alias("sa"),
+            F.lead("s").over(w).alias("sb"),
+            F.lead("doc_id").over(w).alias("_nid"),
+        )
+        .filter(F.col("_nid") == F.col("doc_id") + 1)
+        .select("doc_id", F.struct("sa", "sb").alias("s"))
     )
     l2 = l1.select(
         "doc_id",
