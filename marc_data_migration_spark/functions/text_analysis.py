@@ -287,7 +287,17 @@ def lm_doc_scores(
     corpus instead of hand-authored."""
     train = train if train is not None else df
     grams_t = doc_ngram_rows(train, text_col, 2, id_col)
-    big = grams_t.groupBy("ngram").agg(F.count(F.lit(1)).alias("c_big"))
+    # localCheckpoint(eager=False): `big` feeds both the broadcast score
+    # join and the c_ctx derivation below — unmaterialized, the full
+    # train-corpus gram pass behind it ran twice (runtime-verified: zero
+    # ReusedExchange in the executed plan). The distinct-bigram table is
+    # vocabulary-bounded (the same boundedness that lets it broadcast);
+    # it materializes once inside the first action.
+    big = (
+        grams_t.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("c_big"))
+        .localCheckpoint(eager=False)
+    )
     # c_ctx(w1) = occurrences of w1 as a bigram prefix = sum of c_big
     # over bigrams starting with w1 — identical values to counting the
     # raw gram stream, but computed from the (distinct-bigram-sized)
