@@ -28,7 +28,11 @@ from .functions.normalize import (
     key_with_precedence,
     normalize_text,
 )
-from .functions.similarity import jaccard_tokens, token_sort_ratio
+from .functions.similarity import (
+    jaccard_tokens,
+    token_sort_ratio,
+    token_sort_ratio_presorted,
+)
 from .operators.dedup import latest_per_key
 from .operators.merge import apply_changes
 
@@ -667,7 +671,13 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(
                 F.struct(
-                    token_sort_ratio(F.col("s.sa"), F.col("s.sb")).alias("ratio"),
+                    # sa/sb are _tok_sort_col output — already processed
+                    # + token-sorted, so the presorted UDF variant skips
+                    # the Python-side re-process/re-sort (bit-identical
+                    # ratios; see token_sort_ratio_presorted)
+                    token_sort_ratio_presorted(
+                        F.col("s.sa"), F.col("s.sb")
+                    ).alias("ratio"),
                     F.levenshtein("s.sa", "s.sb").cast("bigint").alias("lev"),
                     (F.length("s.sa") + F.length("s.sb")).cast("bigint").alias("t"),
                 )
