@@ -293,10 +293,10 @@ def lm_doc_scores(
     # ReusedExchange in the executed plan). The distinct-bigram table is
     # vocabulary-bounded (the same boundedness that lets it broadcast);
     # it materializes once inside the first action.
-    big = (
-        grams_t.groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("c_big"))
-        .localCheckpoint(eager=False)
+    from ..session import lazy_local_checkpoint
+
+    big = lazy_local_checkpoint(
+        grams_t.groupBy("ngram").agg(F.count(F.lit(1)).alias("c_big"))
     )
     # c_ctx(w1) = occurrences of w1 as a bigram prefix = sum of c_big
     # over bigrams starting with w1 — identical values to counting the

@@ -463,17 +463,19 @@ def embedding_neardup_pairs(
         bits = scaled_bits(corpus.count(), target_bucket_size)
     all_planes = random_planes(n_tables * bits, dim, seed)
     if n_tables == 1:
-        # localCheckpoint(eager=False): both self-join sides read this
-        # frame; unmaterialized, the cast + bits-plane bucket hash +
-        # norm projection ran once PER SIDE (runtime-verified: two full
-        # chains in the executed plan, zero ReusedExchange). Lazy — the
-        # bucketed frame materializes once inside the first action and
-        # is re-derived from the inputs per construction.
+        # NOT checkpointed (measured negative, r06 continuation): both
+        # self-join sides do recompute this projection, but the work is
+        # one cast + bits plane dots + a norm per row, while a
+        # materialize-once checkpoint has to write the full dim-double
+        # vectors to executor storage — interleaved A/B read flat to
+        # worse with the checkpoint (sf0.1 exec 1.00 s plain vs 1.24 s
+        # checkpointed). The pair-scoring join dominates this operator,
+        # not the side projections.
         bucketed = corpus.select(
             F.col(id_col),
             _as_double(F.col(vec_col)).alias("v"),
             hyperplane_bucket(F.col(vec_col), all_planes).alias("bucket"),
-        ).withColumn("_n", _norm(F.col("v"), dim)).localCheckpoint(eager=False)
+        ).withColumn("_n", _norm(F.col("v"), dim))
         a = bucketed.select(
             F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket",
             F.col("_n").alias("_na"),
@@ -513,12 +515,12 @@ def embedding_neardup_pairs(
             for t in range(n_tables)
         ]
     )
-    # Same materialize-once move as the n_tables=1 branch: `slim` feeds
-    # both candidate join sides and `e` both vector fetches — lazy
-    # checkpoints pin each projection to one evaluation per action.
+    # NOT checkpointed — same measured-negative rationale as the
+    # n_tables=1 branch (the vector-carrying frames dominate the cost
+    # of this operator's joins, not the slim projections).
     slim = corpus.select(F.col(id_col), F.explode(tables).alias("tb")).select(
         id_col, F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk")
-    ).localCheckpoint(eager=False)
+    )
     a = slim.select(F.col(id_col).alias("id_a"), "t", "bk")
     b = slim.select(F.col(id_col).alias("id_b"), "t", "bk")
     cand = (
@@ -529,7 +531,7 @@ def embedding_neardup_pairs(
     )
     e = corpus.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("_n", _norm(F.col("v"), dim)).localCheckpoint(eager=False)
+    ).withColumn("_n", _norm(F.col("v"), dim))
     va = e.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("_n").alias("_na")
     )

@@ -1,21 +1,20 @@
 """Pin the materialize-once internals of the multi-reference sketch
-operators: each one lazy-localCheckpoints the frame its plan references
-more than once (LSH band index, winnow fingerprint index, shingle
-stream, fuzzy-decontam hit pairs, LM bigram table, embedding buckets),
-so the executed plan reads a materialized RDD instead of re-deriving
-the upstream pipeline once per reference. These tests assert the
-checkpoint boundary is present in the executed plan AND that repeated
-fresh constructions recompute to identical results (the checkpoint is
-per-construction — nothing persists across runs).
+operators: each one checkpoints (session.lazy_local_checkpoint) the
+frame its plan references more than once (LSH band index, winnow
+fingerprint index, shingle stream, fuzzy-decontam hit pairs, LM bigram
+table), so the executed plan reads a materialized RDD instead of
+re-deriving the upstream pipeline once per reference. These tests
+assert the checkpoint boundary is present in the executed plan, that
+repeated fresh constructions recompute to identical results (the
+checkpoint is per-construction — nothing persists across runs), and
+that CONSTRUCTION runs no jobs (the compute stays inside the timed
+action).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from marc_data_migration_spark.operators.similarity_search import (
-    embedding_neardup_pairs,
-)
 from marc_data_migration_spark.operators.text_dedup import (
     fuzzy_decontaminate,
     lsh_candidate_pairs,
@@ -98,13 +97,14 @@ def test_fuzzy_decontaminate_hit_pairs_materialized(spark):
     )
 
 
-def test_embedding_neardup_buckets_materialized(spark):
-    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(30)]
-    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    pairs = embedding_neardup_pairs(emb, threshold=0.5, bits=2, dim=8)
-    plan = _executed(pairs)
-    assert plan.count("Scan ExistingRDD") == 2
-    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    assert _rows(pairs) == _rows(
-        embedding_neardup_pairs(emb2, threshold=0.5, bits=2, dim=8)
-    )
+def test_checkpoint_construction_runs_no_jobs(spark):
+    """The helper must not execute the checkpointed subtree's stages at
+    CONSTRUCTION time (under AQE, a bare localCheckpoint(eager=False)
+    does exactly that via getFinalPhysicalPlan) — the compute belongs
+    to the first action, where the bench times it."""
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    docs = _docs(spark)
+    _ = lsh_candidate_pairs(minhash_signatures(docs))
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "query construction submitted Spark jobs"
